@@ -1,0 +1,220 @@
+"""The wavefront renderer: megabatches of camera paths under ``lax.scan``.
+
+This replaces the reference's entire hot path — the row×col×sample loop nest
+with per-pixel recursion (fluxcore/src/trace.rs:53-97 + scene.rs:162-172) —
+with a single fused computation per (row-band, sample-chunk) block:
+
+* lane grid ``(samples, rows, cols)``; every lane's stratified samples are
+  regenerated from counters (see flux_tpu.samplers) instead of the
+  reference's precomputed ``MasterSampleSets`` tables (sampling.rs:12-33),
+  which at root=128 cost ~1.6 GB per worker and a heap walk per lookup —
+  on TPU a few dozen VPU integer ops per sample beat that memory traffic.
+* primary rays from the thin-lens camera (camera.py), one fused pass
+* ``max_trace_depth`` bounce iterations via ``lax.scan`` with alive-masking
+  (the recursion inversion; scene.rs:164-165 depth cap semantics preserved)
+* radiance summed over the sample axis into a row-band accumulator; the
+  pixel average and ``max_to_one`` tone map (trace.rs:85-87) are applied by
+  :func:`finalize` only after *all* chunks of a pixel have accumulated.
+
+Sample-set semantics vs the reference: flux picks a shuffled sample *set* per
+(row, column) and indexes precomputed CMJ/disc/hemisphere tables with the
+sample index (trace.rs:64-69, materials.rs:21-23).  Here every (pixel,
+purpose, depth) gets its own CMJ/MJ pattern id derived by hashing, giving the
+same stratification properties with zero tables and per-pixel (rather than
+per-width-modulo) decorrelation.  Determinism, which the reference lacks
+entirely (thread_rng seeding, samplers/src/lib.rs:27-33), comes free: the
+image is a pure function of (scene, config, seed).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .camera import CameraArrays, camera_arrays, primary_rays
+from .color import max_to_one
+from .ops.shade import PathState, bounce
+from .samplers.hash import hash_combine
+from .samplers.patterns import cmj_point, mj_point
+from .samplers.warps import to_poisson_disc
+from .scene import SceneArrays, SceneData, compile_scene
+from .vec import Vec3
+
+__all__ = ["render_block", "finalize", "Renderer", "plan_chunks"]
+
+# Purpose salts separating the independent sample streams of a pixel.
+SALT_AA = 0x41415341  # anti-aliasing jitter (pixel_sets analog)
+SALT_LENS = 0x4C454E53  # thin-lens disc sample (disc_sets analog)
+SALT_BOUNCE = 0x424F554E  # per-depth hemisphere sample (hemi_sets analog)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("img_w", "img_h", "n_rows", "n_samples", "root", "max_depth"),
+)
+def render_block(
+    scene: SceneArrays,
+    cam: CameraArrays,
+    row0,
+    s0,
+    seed,
+    *,
+    img_w: int,
+    img_h: int,
+    n_rows: int,
+    n_samples: int,
+    root: int,
+    max_depth: int,
+):
+    """Radiance *sum* over sample indices [s0, s0+n_samples) for a row band.
+
+    Returns ``(n_rows, img_w, 3)`` float32. ``row0``/``s0``/``seed`` are
+    traced scalars, so one compilation serves every block of a job.
+    """
+    s_idx = (jnp.uint32(s0) + jnp.arange(n_samples, dtype=jnp.uint32))[:, None, None]
+    row = (jnp.int32(row0) + jnp.arange(n_rows, dtype=jnp.int32))[None, :, None]
+    col = jnp.arange(img_w, dtype=jnp.int32)[None, None, :]
+
+    pixel_base = hash_combine(seed, row, col)  # (1, n_rows, img_w) uint32
+
+    # Anti-aliasing jitter: CMJ per pixel (pixel_sets analog, sampling.rs:16).
+    ax, ay = cmj_point(s_idx, root, hash_combine(pixel_base, SALT_AA))
+    # Lens sample: CMJ warped to the unit disc (disc_sets analog, :19-21).
+    ux, uy = cmj_point(s_idx, root, hash_combine(pixel_base, SALT_LENS))
+    lx, ly = to_poisson_disc(ux, uy)
+
+    o, d = primary_rays(cam, row, col, img_w, img_h, ax, ay, lx, ly)
+    shape = (n_samples, n_rows, img_w)
+
+    def full(vec):
+        return Vec3(
+            jnp.broadcast_to(vec.x, shape),
+            jnp.broadcast_to(vec.y, shape),
+            jnp.broadcast_to(vec.z, shape),
+        )
+
+    ones = jnp.ones(shape, jnp.float32)
+    zeros = jnp.zeros(shape, jnp.float32)
+    state = PathState(
+        o=full(o),
+        d=full(d),
+        throughput=Vec3(ones, ones, ones),
+        radiance=Vec3(zeros, zeros, zeros),
+        alive=jnp.ones(shape, jnp.bool_),
+    )
+
+    def step(st, depth):
+        # Fresh stratified MJ sample per (pixel, sample, depth) — the
+        # hemi_sets[set][depth-1][sample] analog (materials.rs:21-23).
+        pat = hash_combine(pixel_base, SALT_BOUNCE, depth)
+        bx, by = mj_point(s_idx, root, pat)
+        return bounce(scene, st, bx, by), None
+
+    depths = jnp.arange(1, max_depth + 1, dtype=jnp.uint32)
+    state, _ = jax.lax.scan(step, state, depths)
+    # Paths still alive after max_depth bounces contribute black
+    # (scene.rs:164-165) — their radiance simply stays un-augmented.
+    rad = state.radiance
+    # Sum over the sample axis; stack to (..., 3) only at the output boundary.
+    return jnp.stack(
+        [jnp.sum(rad.x, axis=0), jnp.sum(rad.y, axis=0), jnp.sum(rad.z, axis=0)],
+        axis=-1,
+    )
+
+
+@partial(jax.jit, static_argnames=("root",))
+def finalize(acc: jnp.ndarray, *, root: int) -> jnp.ndarray:
+    """Average the root² samples and tone-map (trace.rs:85-87)."""
+    return max_to_one(acc * np.float32(1.0 / (root * root)))
+
+
+def plan_chunks(total: int, chunk: int):
+    """Split ``total`` samples into (s0, n) launches, at most two shapes."""
+    chunk = max(1, min(chunk, total))
+    out = []
+    s = 0
+    while s + chunk <= total:
+        out.append((s, chunk))
+        s += chunk
+    if s < total:
+        out.append((s, total - s))
+    return out
+
+
+class Renderer:
+    """Single-host renderer: compiles a scene once, renders row-band work
+    units at full sample depth (the ``Camera::render`` + ``LocalWorker``
+    compute role, trace.rs:53-97 / workers.rs:46-74).
+
+    ``target_lanes`` bounds the wavefront size per device launch; sample
+    chunks are sized so ``n_samples × n_rows × width ≈ target_lanes``.
+    """
+
+    def __init__(
+        self,
+        scene_data: SceneData,
+        sample_root: int,
+        max_depth: int,
+        seed: int = 0,
+        target_lanes: int = 32 << 20,
+    ):
+        self.scene_data = scene_data
+        self.scene = compile_scene(scene_data)
+        self.cam = camera_arrays(
+            scene_data.camera_settings,
+            scene_data.camera_data,
+            scene_data.output_settings.pixel_size,
+        )
+        self.width = scene_data.output_settings.image_width
+        self.height = scene_data.output_settings.image_height
+        self.root = int(sample_root)
+        self.max_depth = int(max_depth)
+        self.seed = int(seed) & 0xFFFFFFFF
+        self.target_lanes = int(target_lanes)
+
+    def _chunk_size(self, n_rows: int) -> int:
+        spp = self.root * self.root
+        per_sample_lanes = n_rows * self.width
+        return max(1, min(spp, self.target_lanes // max(per_sample_lanes, 1)))
+
+    def render_rows_sum(self, row0: int, n_rows: int):
+        """Device-side radiance sum over all root² samples for a row band."""
+        acc = None
+        chunk = self._chunk_size(n_rows)
+        for s0, n in plan_chunks(self.root * self.root, chunk):
+            part = render_block(
+                self.scene,
+                self.cam,
+                np.int32(row0),
+                np.uint32(s0),
+                np.uint32(self.seed),
+                img_w=self.width,
+                img_h=self.height,
+                n_rows=n_rows,
+                n_samples=n,
+                root=self.root,
+                max_depth=self.max_depth,
+            )
+            acc = part if acc is None else acc + part
+        return acc
+
+    def render_rows(self, row0: int, n_rows: int) -> np.ndarray:
+        """Final (averaged, tone-mapped) pixels for rows [row0, row0+n_rows)."""
+        acc = self.render_rows_sum(row0, n_rows)
+        img = finalize(acc, root=self.root)
+        return np.asarray(jax.device_get(img))
+
+    def render_image(self, rows_per_band: Optional[int] = None) -> np.ndarray:
+        """Render the full frame (convenience; jobs go through the manager)."""
+        rows_per_band = rows_per_band or min(self.height, 64)
+        out = np.zeros((self.height, self.width, 3), np.float32)
+        r = 0
+        while r < self.height:
+            n = min(rows_per_band, self.height - r)
+            out[r : r + n] = self.render_rows(r, n)
+            r += n
+        return out
