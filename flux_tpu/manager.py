@@ -1,0 +1,390 @@
+"""Render scheduling: job queue, work-unit distribution, events, sinks.
+
+The TPU-host rebuild of fluxcore/src/manager.rs.  The structure the
+reference got right is kept: a scheduler thread per manager, a *pull-based*
+shared work-unit queue with capacity 1 as the dynamic load balancer
+(manager.rs:100,120-141), a cancel listener draining the unit iterator
+(manager.rs:365-393), an event stream with pluggable sinks
+(``ConsoleResultReporter``, ``ImageBuilder``; manager.rs:238-363), and a
+barrier released when every worker finishes its pulls.  What changes is the
+worker side: instead of rayon thread pools, a worker drives one or more TPU
+devices (see flux_tpu/workers.py), and the event payloads carry numpy row
+blocks instead of ``Vec<Vec<Color>>``.
+
+Deviations from the reference, on purpose:
+
+* A dead worker raises an error on the scheduler thread but the manager
+  survives; the reference panics the whole process (manager.rs:158-161).
+* ``ImageBuilder`` handles any number of sequential jobs; the reference's
+  builder thread exits on a second ImageInfo (manager.rs:291-299), which
+  silently breaks its preview's +/- re-render.
+* Events carry wall-clock *and* monotonic timestamps for robust duration
+  reporting.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+from .debug import d_println
+from .image import Image, write_png, write_ppm
+from .job import Job, JobConfiguration, JobID, JobIDAllocator, WorkUnit
+from .scene import SceneData
+
+__all__ = [
+    "RenderEvent",
+    "ImageInfo",
+    "RenderingStarted",
+    "WorkUnitResult",
+    "RowsReady",
+    "RenderingFinished",
+    "WaitGroup",
+    "WorkerHandle",
+    "WorkerInfo",
+    "JobHandle",
+    "RenderManager",
+    "ConsoleResultReporter",
+    "ImageBuilder",
+    "MultiSink",
+]
+
+
+# ---------------------------------------------------------------------------
+# Events (manager.rs:16-27)
+
+
+@dataclass(frozen=True)
+class ImageInfo:
+    scene_name: str
+    width: int
+    height: int
+
+
+@dataclass(frozen=True)
+class RenderingStarted:
+    job_id: JobID
+    start_time: float  # wall clock (s since epoch)
+    monotonic: float
+
+
+@dataclass(frozen=True)
+class WorkUnitResult:
+    work_unit: WorkUnit
+    rows: np.ndarray  # (num_rows, width, 3) float32, final pixels
+
+
+@dataclass(frozen=True)
+class RowsReady:
+    result: WorkUnitResult
+
+
+@dataclass(frozen=True)
+class RenderingFinished:
+    end_time: float
+    monotonic: float
+
+
+RenderEvent = object  # union of the five dataclasses above
+
+
+# ---------------------------------------------------------------------------
+# Synchronization
+
+
+class WaitGroup:
+    """Counter barrier (crossbeam WaitGroup analog, manager.rs:101)."""
+
+    def __init__(self):
+        self._count = 0
+        self._cond = threading.Condition()
+
+    def add(self, n: int = 1) -> None:
+        with self._cond:
+            self._count += n
+
+    def done(self) -> None:
+        with self._cond:
+            self._count -= 1
+            if self._count <= 0:
+                self._cond.notify_all()
+
+    def wait(self, timeout: Optional[float] = None) -> bool:
+        with self._cond:
+            return self._cond.wait_for(lambda: self._count <= 0, timeout=timeout)
+
+
+@dataclass(frozen=True)
+class WorkerInfo:
+    """Worker capability report (manager.rs:221-230); threads become
+    devices."""
+
+    num_devices: int
+    platform: str = "unknown"
+    description: str = ""
+
+
+class WorkerHandle:
+    """Typed sender of work requests to a worker loop (manager.rs:38-53).
+
+    A request is ``None`` (shutdown) or ``(job, unit_queue, event_sink,
+    waitgroup)``; the worker pulls WorkUnits from ``unit_queue`` until it
+    yields ``None``.
+    """
+
+    def __init__(self, request_queue: "queue.Queue", name: str = "worker"):
+        self._q = request_queue
+        self.name = name
+        self._dead = threading.Event()
+
+    def send(self, job: Job, unit_queue, event_sink, wg: WaitGroup) -> None:
+        if self._dead.is_set():
+            raise RuntimeError(f"worker {self.name} is stopped")
+        self._q.put((job, unit_queue, event_sink, wg))
+
+    def send_stop(self) -> None:
+        self._dead.set()
+        self._q.put(None)
+
+
+# ---------------------------------------------------------------------------
+# Job handle (manager.rs:55-70)
+
+
+class JobHandle:
+    def __init__(self, job_id: JobID, done: threading.Event, cancel: threading.Event):
+        self.job_id = job_id
+        self._done = done
+        self._cancel = cancel
+
+    def wait(self, timeout: Optional[float] = None) -> bool:
+        return self._done.wait(timeout)
+
+    def cancel(self) -> None:
+        d_println(f"Job cancellation request for {self.job_id}")
+        self._cancel.set()
+
+    def done(self) -> bool:
+        return self._done.is_set()
+
+
+# ---------------------------------------------------------------------------
+# Event sinks
+
+
+class MultiSink:
+    """Fan one event stream out to several sinks (queue-alikes with put)."""
+
+    def __init__(self, sinks: Sequence):
+        self._sinks = list(sinks)
+
+    def put(self, item) -> None:
+        for s in self._sinks:
+            s.put(item)
+
+
+class ConsoleResultReporter:
+    """Prints a line per event (manager.rs:238-276)."""
+
+    def __init__(self):
+        self._q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(
+            target=self._run, name="ConsoleResultReporter", daemon=True
+        )
+        self._thread.start()
+
+    def sender(self) -> "queue.Queue":
+        return self._q
+
+    def _run(self) -> None:
+        while True:
+            ev = self._q.get()
+            if ev is None:
+                return
+            if isinstance(ev, RenderingStarted):
+                print(f"ConsoleResultReporter: job {ev.job_id} started")
+            elif isinstance(ev, ImageInfo):
+                print(f"ConsoleResultReporter: scene: {ev.scene_name}")
+                print(f"ConsoleResultReporter: image {ev.width} x {ev.height} pixels")
+            elif isinstance(ev, RowsReady):
+                n = ev.result.work_unit.num_rows
+                print(f"ConsoleResultReporter: image fragment done, {n} rows")
+            elif isinstance(ev, RenderingFinished):
+                print("ConsoleResultReporter: rendering finished")
+
+    def stop(self) -> None:
+        self._q.put(None)
+        self._thread.join(timeout=5)
+
+
+class ImageBuilder:
+    """Accumulates RowsReady into an Image; writes ``{scene}.ppm`` (and
+    optionally ``.png``) at RenderingFinished (manager.rs:278-363)."""
+
+    def __init__(self, output_dir: str = ".", write_png_too: bool = False,
+                 filename: Optional[str] = None):
+        self._q: "queue.Queue" = queue.Queue()
+        self._lock = threading.Lock()
+        self._image: Optional[Image] = None
+        self._scene_name = ""
+        self._start_mono: Optional[float] = None
+        self.last_duration: Optional[float] = None
+        self.last_path: Optional[str] = None
+        self._output_dir = output_dir
+        self._write_png = write_png_too
+        self._filename = filename
+        self._finished = threading.Event()
+        self._thread = threading.Thread(target=self._run, name="ImageBuilder", daemon=True)
+        self._thread.start()
+
+    def sender(self) -> "queue.Queue":
+        return self._q
+
+    def get_image(self) -> Optional[Image]:
+        """Snapshot of the in-progress image (live preview polls this, the
+        SDL path of flux/src/main.rs:249-283)."""
+        with self._lock:
+            return self._image
+
+    def wait_finished(self, timeout: Optional[float] = None) -> bool:
+        return self._finished.wait(timeout)
+
+    def _run(self) -> None:
+        import os
+
+        while True:
+            ev = self._q.get()
+            if ev is None:
+                return
+            if isinstance(ev, ImageInfo):
+                with self._lock:
+                    self._image = Image(ev.width, ev.height)
+                    self._scene_name = ev.scene_name
+                self._finished.clear()
+            elif isinstance(ev, RenderingStarted):
+                self._start_mono = ev.monotonic
+            elif isinstance(ev, RowsReady):
+                with self._lock:
+                    if self._image is not None:
+                        self._image.set_rows(
+                            ev.result.work_unit.row_start, ev.result.rows
+                        )
+            elif isinstance(ev, RenderingFinished):
+                if self._start_mono is not None:
+                    self.last_duration = ev.monotonic - self._start_mono
+                    print(
+                        f"rendering finished, total time "
+                        f"{self.last_duration:.3f}s"
+                    )
+                with self._lock:
+                    img = self._image
+                if img is not None:
+                    base = self._filename or (self._scene_name + ".ppm")
+                    path = os.path.join(self._output_dir, base)
+                    write_ppm(path, img)
+                    self.last_path = path
+                    if self._write_png:
+                        write_png(path.rsplit(".", 1)[0] + ".png", img)
+                self._finished.set()
+
+    def stop(self) -> None:
+        self._q.put(None)
+        self._thread.join(timeout=30)
+
+
+# ---------------------------------------------------------------------------
+# The manager (manager.rs:72-219)
+
+
+class RenderManager:
+    def __init__(self, workers: List[WorkerHandle]):
+        if not workers:
+            raise ValueError("RenderManager: must provide at least one worker handle")
+        self._workers = workers
+        self._allocator = JobIDAllocator()
+        self._job_queue: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._run, name="RenderManager", daemon=True)
+        self._thread.start()
+
+    # The scheduler loop: one job at a time, in submission order.
+    def _run(self) -> None:
+        d_println("Render manager: awaiting job")
+        while True:
+            item = self._job_queue.get()
+            if item is None:
+                d_println("Render manager: shutting down")
+                return
+            job, done, cancel, sink = item
+            d_println(f"Render manager: got job {job.id}")
+            try:
+                self._run_job(job, cancel, sink)
+            except Exception as e:  # worker failure — skip to next job
+                d_println(f"Render manager: job {job.id} failed: {e!r}")
+            done.set()
+
+    def _run_job(self, job: Job, cancel: threading.Event, sink) -> None:
+        sink.put(
+            ImageInfo(
+                scene_name=job.scene_data.scene_name,
+                width=job.scene_data.output_settings.image_width,
+                height=job.scene_data.output_settings.image_height,
+            )
+        )
+
+        # Pull-based load balancer: all workers share one bounded queue
+        # (manager.rs:100); the producer stops early on cancellation and
+        # then delivers one sentinel per worker.
+        unit_queue: "queue.Queue" = queue.Queue(maxsize=1)
+        units = job.work_units()
+        n_workers = len(self._workers)
+
+        def produce():
+            d_println("Work queue producer starting")
+            for u in units:
+                if cancel.is_set():
+                    d_println("Work unit iterator cancelled")
+                    break
+                unit_queue.put(u)
+            for _ in range(n_workers):
+                unit_queue.put(None)
+
+        producer = threading.Thread(
+            target=produce, name=f"Work queue for {job.id}", daemon=True
+        )
+        producer.start()
+
+        sink.put(
+            RenderingStarted(
+                job_id=job.id, start_time=time.time(), monotonic=time.monotonic()
+            )
+        )
+
+        wg = WaitGroup()
+        wg.add(n_workers)
+        for w in self._workers:
+            w.send(job, unit_queue, sink, wg)
+
+        d_println("Render manager: waiting for job completion or cancellation")
+        wg.wait()
+        producer.join()
+        d_println("Render manager: all workers done")
+
+        sink.put(RenderingFinished(end_time=time.time(), monotonic=time.monotonic()))
+
+    def schedule_job(
+        self, scene_data: SceneData, config: JobConfiguration, result_sink
+    ) -> JobHandle:
+        job = Job(id=self._allocator.next_id(), scene_data=scene_data, config=config)
+        done = threading.Event()
+        cancel = threading.Event()
+        self._job_queue.put((job, done, cancel, result_sink))
+        return JobHandle(job.id, done, cancel)
+
+    def stop(self) -> None:
+        self._job_queue.put(None)
+        self._thread.join(timeout=30)

@@ -1,0 +1,137 @@
+"""Render-node daemon: serves local TPU devices to a remote master.
+
+Rebuild of flux-node (flux-node/src/main.rs): listens on 0.0.0.0:2000 by
+default, keeps one LocalWorker for the process lifetime (main.rs:160), and
+serves one master connection at a time (serial accept loop, main.rs:96-111).
+Per connection: send the WorkerInfo handshake (main.rs:26-31), then dispatch
+``set_job`` / ``work_unit`` / ``done`` frames into the worker while a
+forwarder thread streams RowsReady results back (main.rs:41-55).
+
+This is the cross-DCN fallback path — hosts that don't share a JAX mesh.
+Hosts in one slice should prefer :mod:`flux_tpu.parallel` collectives over
+ICI, which replace this wire entirely.
+"""
+
+from __future__ import annotations
+
+import queue
+import socket
+import threading
+
+from .constants import DEFAULT_PORT
+from .debug import d_println
+from .job import Job, WorkUnit
+from .manager import RowsReady, WaitGroup
+from .workers import LocalWorker
+from . import wire
+
+__all__ = ["serve", "handle_client"]
+
+
+def handle_client(conn: socket.socket, worker: LocalWorker) -> None:
+    """Serve one master connection (flux-node/src/main.rs:20-91)."""
+    info = worker.info()
+    wire.send_msg(
+        conn,
+        {
+            "type": "worker_info",
+            "num_devices": info.num_devices,
+            "platform": info.platform,
+        },
+    )
+
+    unit_queue = None
+    sink = None
+    forwarder = None
+    wg = None
+
+    def forward_events(q: "queue.Queue") -> None:
+        while True:
+            ev = q.get()
+            if ev is None:
+                return
+            if isinstance(ev, RowsReady):
+                try:
+                    wire.send_msg(
+                        conn,
+                        wire.encode_rows(ev.result.work_unit.row_start, ev.result.rows),
+                    )
+                except OSError:
+                    return
+
+    def finish_job():
+        nonlocal unit_queue, sink, forwarder, wg
+        if unit_queue is not None:
+            unit_queue.put(None)
+            if wg is not None:
+                wg.wait(timeout=600)
+            if sink is not None:
+                sink.put(None)
+            if forwarder is not None:
+                forwarder.join(timeout=30)
+        unit_queue = sink = forwarder = wg = None
+
+    try:
+        while True:
+            try:
+                msg = wire.recv_msg(conn)
+            except (ConnectionError, OSError):
+                break
+            kind = msg.get("type")
+            if kind == "set_job":
+                finish_job()
+                job = Job.from_dict(msg["job"])
+                d_println(f"node: set_job {job.id}")
+                unit_queue = queue.Queue()
+                sink = queue.Queue()
+                wg = WaitGroup()
+                wg.add(1)
+                forwarder = threading.Thread(
+                    target=forward_events, args=(sink,), daemon=True
+                )
+                forwarder.start()
+                worker.handle().send(job, unit_queue, sink, wg)
+            elif kind == "work_unit":
+                if unit_queue is None:
+                    raise RuntimeError("work_unit before set_job")
+                unit_queue.put(
+                    WorkUnit(
+                        row_start=int(msg["row_start"]),
+                        row_end=int(msg["row_end"]),
+                        job_id=None,
+                    )
+                )
+            elif kind == "done":
+                d_println("node: job done")
+                finish_job()
+            elif kind == "shutdown":
+                break
+            else:
+                d_println(f"node: unexpected message {kind!r}")
+                break
+    finally:
+        finish_job()
+        conn.close()
+
+
+def serve(host: str = "0.0.0.0", port: int = DEFAULT_PORT, *, max_connections=None,
+          ready_event: threading.Event = None) -> None:
+    """Serial accept loop (flux-node/src/main.rs:96-111,141-152)."""
+    worker = LocalWorker(name="node")
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind((host, port))
+    srv.listen(1)
+    print(f"flux-node-tpu: listening on {host}:{port}")
+    if ready_event is not None:
+        ready_event.set()
+    served = 0
+    try:
+        while max_connections is None or served < max_connections:
+            conn, addr = srv.accept()
+            d_println(f"node: connection from {addr}")
+            handle_client(conn, worker)
+            served += 1
+    finally:
+        srv.close()
+        worker.stop()

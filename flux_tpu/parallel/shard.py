@@ -1,0 +1,183 @@
+"""Cooperative multi-chip rendering via ``shard_map`` — the flux-node
+replacement for chips that share a mesh.
+
+The reference distributes one frame across machines by streaming row-band
+work units over TCP with a pull queue (manager.rs:100-162, workers.rs:
+105-243).  Inside a TPU slice none of that machinery is needed: this module
+jits ONE program over a ('rows', 'spp') mesh in which
+
+* every chip renders its row shard over a disjoint stratified sample range
+  (counter-based sampling makes the split free — device j takes global
+  sample indices [j·per_dev, (j+1)·per_dev), still one sample per stratum
+  globally because the strata are indexed by the same counters),
+* a ``psum`` over the 'spp' axis rides ICI to combine partial sums,
+* the 'rows' axis concatenates tile shards on the way out.
+
+Static row/sample sharding is deliberately chosen over the reference's
+dynamic queue: sample sharding is perfectly balanced by construction, so
+the load-balancing problem the queue solved disappears (SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..camera import camera_arrays
+from ..render import finalize, render_block_impl
+from ..scene import SceneData, compile_scene
+from .mesh import make_mesh
+
+__all__ = ["MeshRenderer", "sharded_unit_fn"]
+
+
+def sharded_unit_fn(
+    mesh: Mesh,
+    *,
+    img_w: int,
+    img_h: int,
+    n_rows_local: int,
+    root: int,
+    max_depth: int,
+    chunk: int,
+):
+    """Build the jitted SPMD program that renders one work unit on ``mesh``.
+
+    Returns ``fn(scene, cam, row0, seed) -> (n_rows_local * rows_shards,
+    img_w, 3)`` radiance sums over all root² samples.
+    """
+    spp = root * root
+    spp_shards = mesh.shape["spp"]
+    per_dev = -(-spp // spp_shards)  # ceil: last device masks the overhang
+    chunk = max(1, min(chunk, per_dev))
+    n_chunks = -(-per_dev // chunk)
+
+    def device_fn(scene, cam, row0, seed):
+        ri = jax.lax.axis_index("rows")
+        si = jax.lax.axis_index("spp")
+        my_row0 = jnp.int32(row0) + ri.astype(jnp.int32) * np.int32(n_rows_local)
+        base_s0 = si.astype(jnp.uint32) * np.uint32(per_dev)
+
+        def body(i, acc):
+            s0 = base_s0 + i.astype(jnp.uint32) * np.uint32(chunk)
+            part = render_block_impl(
+                scene,
+                cam,
+                my_row0,
+                s0,
+                seed,
+                img_w=img_w,
+                img_h=img_h,
+                n_rows=n_rows_local,
+                n_samples=chunk,
+                root=root,
+                max_depth=max_depth,
+                pvary_axes=("rows", "spp"),
+                # Mask overhang lanes: beyond this device's range (when
+                # chunking overshoots per_dev) or beyond root² entirely
+                # (when spp_shards doesn't divide root²).
+                s_limit=jnp.minimum(
+                    base_s0 + np.uint32(per_dev), np.uint32(spp)
+                ),
+            )
+            return acc + part
+
+        acc0 = jax.lax.pcast(
+            jnp.zeros((n_rows_local, img_w, 3), jnp.float32),
+            ("rows", "spp"),
+            to="varying",
+        )
+        acc = jax.lax.fori_loop(0, n_chunks, body, acc0)
+        # Combine sample shards over ICI; 'rows' shards concatenate via the
+        # out_spec.
+        return jax.lax.psum(acc, "spp")
+
+    fn = jax.shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=P("rows", None, None),
+    )
+    return jax.jit(fn)
+
+
+class MeshRenderer:
+    """Drop-in Renderer that shards one work unit across a device mesh.
+
+    Work units keep the reference's row-band shape (job.rs:66-88); inside a
+    unit the mesh renders cooperatively. Presents the same ``render_rows`` /
+    ``render_rows_sum`` surface as :class:`flux_tpu.render.Renderer`, so
+    workers and the manager don't care which one they drive.
+    """
+
+    def __init__(
+        self,
+        scene_data: SceneData,
+        sample_root: int,
+        max_depth: int,
+        seed: int = 0,
+        mesh: Optional[Mesh] = None,
+        rows_shards: int = 1,
+        target_lanes: int = 32 << 20,
+    ):
+        self.scene_data = scene_data
+        self.scene = compile_scene(scene_data)
+        self.cam = camera_arrays(
+            scene_data.camera_settings,
+            scene_data.camera_data,
+            scene_data.output_settings.pixel_size,
+        )
+        self.width = scene_data.output_settings.image_width
+        self.height = scene_data.output_settings.image_height
+        self.root = int(sample_root)
+        self.max_depth = int(max_depth)
+        self.seed = int(seed) & 0xFFFFFFFF
+        self.mesh = mesh if mesh is not None else make_mesh(rows_shards=rows_shards)
+        self.target_lanes = int(target_lanes)
+        self._fns = {}
+
+    def _unit_fn(self, n_rows_total: int):
+        rows_shards = self.mesh.shape["rows"]
+        n_local = -(-n_rows_total // rows_shards)
+        key = (n_local,)
+        if key not in self._fns:
+            per_sample_lanes = n_local * self.width
+            chunk = max(1, self.target_lanes // max(per_sample_lanes, 1))
+            self._fns[key] = (
+                sharded_unit_fn(
+                    self.mesh,
+                    img_w=self.width,
+                    img_h=self.height,
+                    n_rows_local=n_local,
+                    root=self.root,
+                    max_depth=self.max_depth,
+                    chunk=chunk,
+                ),
+                n_local,
+            )
+        return self._fns[key]
+
+    def render_rows_sum(self, row0: int, n_rows: int):
+        fn, n_local = self._unit_fn(n_rows)
+        out = fn(self.scene, self.cam, np.int32(row0), np.uint32(self.seed))
+        return out[:n_rows]  # crop row padding from uneven 'rows' shards
+
+    def render_rows(self, row0: int, n_rows: int) -> np.ndarray:
+        acc = self.render_rows_sum(row0, n_rows)
+        img = finalize(acc, root=self.root)
+        return np.asarray(jax.device_get(img))
+
+    def render_image(self, rows_per_band: Optional[int] = None) -> np.ndarray:
+        rows_per_band = rows_per_band or min(self.height, 64)
+        out = np.zeros((self.height, self.width, 3), np.float32)
+        r = 0
+        while r < self.height:
+            n = min(rows_per_band, self.height - r)
+            out[r : r + n] = self.render_rows(r, n)
+            r += n
+        return out

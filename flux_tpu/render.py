@@ -52,11 +52,7 @@ SALT_LENS = 0x4C454E53  # thin-lens disc sample (disc_sets analog)
 SALT_BOUNCE = 0x424F554E  # per-depth hemisphere sample (hemi_sets analog)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("img_w", "img_h", "n_rows", "n_samples", "root", "max_depth"),
-)
-def render_block(
+def render_block_impl(
     scene: SceneArrays,
     cam: CameraArrays,
     row0,
@@ -69,11 +65,17 @@ def render_block(
     n_samples: int,
     root: int,
     max_depth: int,
+    s_limit=None,
+    pvary_axes=(),
 ):
     """Radiance *sum* over sample indices [s0, s0+n_samples) for a row band.
 
     Returns ``(n_rows, img_w, 3)`` float32. ``row0``/``s0``/``seed`` are
     traced scalars, so one compilation serves every block of a job.
+    ``s_limit`` (traced, optional) masks off lanes with global sample index
+    >= s_limit — used by the sharded renderer when root² doesn't divide the
+    device count evenly.  This is the un-jitted core so it can be invoked
+    inside ``shard_map``; use :func:`render_block` directly otherwise.
     """
     s_idx = (jnp.uint32(s0) + jnp.arange(n_samples, dtype=jnp.uint32))[:, None, None]
     row = (jnp.int32(row0) + jnp.arange(n_rows, dtype=jnp.int32))[None, :, None]
@@ -99,13 +101,27 @@ def render_block(
 
     ones = jnp.ones(shape, jnp.float32)
     zeros = jnp.zeros(shape, jnp.float32)
+    if s_limit is None:
+        alive0 = jnp.ones(shape, jnp.bool_)
+    else:
+        alive0 = jnp.broadcast_to(s_idx < jnp.uint32(s_limit), shape)
     state = PathState(
         o=full(o),
         d=full(d),
         throughput=Vec3(ones, ones, ones),
         radiance=Vec3(zeros, zeros, zeros),
-        alive=jnp.ones(shape, jnp.bool_),
+        alive=alive0,
     )
+    if pvary_axes:
+        # Under shard_map the scan carry must be device-varying from the
+        # start or the first bounce changes its type (jax >= 0.7 varying-
+        # axes checking). Only promote leaves that aren't varying already.
+        def _pvary(a):
+            vma = getattr(jax.typeof(a), "vma", frozenset())
+            missing = tuple(ax for ax in pvary_axes if ax not in vma)
+            return jax.lax.pcast(a, missing, to="varying") if missing else a
+
+        state = jax.tree.map(_pvary, state)
 
     def step(st, depth):
         # Fresh stratified MJ sample per (pixel, sample, depth) — the
@@ -124,6 +140,20 @@ def render_block(
         [jnp.sum(rad.x, axis=0), jnp.sum(rad.y, axis=0), jnp.sum(rad.z, axis=0)],
         axis=-1,
     )
+
+
+render_block = jax.jit(
+    render_block_impl,
+    static_argnames=(
+        "img_w",
+        "img_h",
+        "n_rows",
+        "n_samples",
+        "root",
+        "max_depth",
+        "pvary_axes",
+    ),
+)
 
 
 @partial(jax.jit, static_argnames=("root",))

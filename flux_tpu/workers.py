@@ -1,0 +1,229 @@
+"""Execution backends: local TPU worker and remote network worker.
+
+Rebuild of fluxcore/src/workers.rs.  ``LocalWorker`` drives the local JAX
+devices (the rayon-pool replacement, workers.rs:25-88): per job it compiles
+the scene and pulls work units from the shared queue until exhaustion.
+``NetworkWorker`` proxies the same pull loop to a remote ``flux-node-tpu``
+daemon over TCP (workers.rs:105-243), keeping the reference's pipeline
+depth of 2 — two units are in flight before the first result is awaited
+(workers.rs:161-201) — so the link and the remote chips overlap.
+
+The wire format is msgpack frames (length-prefixed), the CBOR analog; see
+flux_tpu/wire.py.
+"""
+
+from __future__ import annotations
+
+import queue
+import socket
+import threading
+from typing import Callable, Optional
+
+import numpy as np
+
+from .constants import DEFAULT_PORT
+from .debug import d_println
+from .job import Job
+from .manager import (
+    RowsReady,
+    WaitGroup,
+    WorkerHandle,
+    WorkerInfo,
+    WorkUnitResult,
+)
+from . import wire
+
+__all__ = ["LocalWorker", "NetworkWorker", "default_renderer_factory"]
+
+
+def default_renderer_factory(job: Job):
+    """Build the best renderer for the local device set: a single-device
+    :class:`~flux_tpu.render.Renderer` on one chip, a sample-sharded
+    :class:`~flux_tpu.parallel.MeshRenderer` across all of them otherwise
+    (the flux-node-per-box role collapses into the mesh; SURVEY.md §2
+    parallelism table)."""
+    import jax
+
+    from .render import Renderer
+
+    n_dev = jax.device_count()
+    if n_dev > 1:
+        from .parallel import MeshRenderer
+
+        return MeshRenderer(
+            job.scene_data,
+            sample_root=job.config.sample_root,
+            max_depth=job.config.max_trace_depth,
+            seed=job.config.seed,
+        )
+    return Renderer(
+        job.scene_data,
+        sample_root=job.config.sample_root,
+        max_depth=job.config.max_trace_depth,
+        seed=job.config.seed,
+    )
+
+
+class LocalWorker:
+    """Pulls work units and renders them on the local devices
+    (workers.rs:25-88)."""
+
+    def __init__(self, renderer_factory: Callable[[Job], object] = None, name="local"):
+        self._factory = renderer_factory or default_renderer_factory
+        self._requests: "queue.Queue" = queue.Queue()
+        self._handle = WorkerHandle(self._requests, name=name)
+        self._thread = threading.Thread(
+            target=self._run, name=f"LocalWorker[{name}]", daemon=True
+        )
+        self._thread.start()
+
+    def handle(self) -> WorkerHandle:
+        return self._handle
+
+    def info(self) -> WorkerInfo:
+        import jax
+
+        return WorkerInfo(
+            num_devices=jax.device_count(),
+            platform=jax.devices()[0].platform,
+            description="local",
+        )
+
+    def _run(self) -> None:
+        while True:
+            req = self._requests.get()
+            if req is None:
+                d_println("LocalWorker: shutting down")
+                return
+            job, unit_queue, sink, wg = req
+            d_println(f"LocalWorker: got job {job.id}")
+            try:
+                renderer = self._factory(job)
+                while True:
+                    unit = unit_queue.get()
+                    if unit is None:
+                        break
+                    d_println(f"LocalWorker: rendering {unit}")
+                    rows = renderer.render_rows(unit.row_start, unit.num_rows)
+                    sink.put(RowsReady(WorkUnitResult(work_unit=unit, rows=rows)))
+            except Exception as e:
+                d_println(f"LocalWorker: job {job.id} failed: {e!r}")
+                # Drain remaining units so the producer and barrier release.
+                while unit_queue.get() is not None:
+                    pass
+                raise
+            finally:
+                wg.done()
+
+    def stop(self) -> None:
+        self._handle.send_stop()
+        self._thread.join(timeout=30)
+
+
+class NetworkWorker:
+    """TCP proxy worker: ships the job to a remote node and pipelines work
+    units over the link (workers.rs:118-243).
+
+    Connects eagerly and performs the WorkerInfo handshake in the
+    constructor, like the reference (workers.rs:126-143); raises on failure
+    (the CLI exits, flux/src/main.rs:54-57).
+    """
+
+    PIPELINE_DEPTH = 2  # workers.rs:161-175
+
+    def __init__(self, endpoint: str, connect_timeout: float = 10.0):
+        host, _, port = endpoint.partition(":")
+        self.endpoint = endpoint
+        self._sock = socket.create_connection(
+            (host, int(port) if port else DEFAULT_PORT), timeout=connect_timeout
+        )
+        self._sock.settimeout(None)
+        hello = wire.recv_msg(self._sock)
+        if hello.get("type") != "worker_info":
+            raise RuntimeError(f"bad handshake from {endpoint}: {hello!r}")
+        self._info = WorkerInfo(
+            num_devices=int(hello.get("num_devices", 1)),
+            platform=str(hello.get("platform", "remote")),
+            description=f"node {endpoint}",
+        )
+        self._requests: "queue.Queue" = queue.Queue()
+        self._handle = WorkerHandle(self._requests, name=f"net:{endpoint}")
+        self._thread = threading.Thread(
+            target=self._run, name=f"NetworkWorker[{endpoint}]", daemon=True
+        )
+        self._thread.start()
+
+    def handle(self) -> WorkerHandle:
+        return self._handle
+
+    def info(self) -> WorkerInfo:
+        return self._info
+
+    def _run(self) -> None:
+        while True:
+            req = self._requests.get()
+            if req is None:
+                try:
+                    wire.send_msg(self._sock, {"type": "shutdown"})
+                    self._sock.close()
+                except OSError:
+                    pass
+                return
+            job, unit_queue, sink, wg = req
+            try:
+                self._run_job(job, unit_queue, sink)
+            except Exception as e:
+                d_println(f"NetworkWorker[{self.endpoint}]: job failed: {e!r}")
+                while unit_queue.get() is not None:
+                    pass
+            finally:
+                wg.done()
+
+    def _run_job(self, job: Job, unit_queue, sink) -> None:
+        sock = self._sock
+        wire.send_msg(sock, {"type": "set_job", "job": job.to_dict()})
+
+        def send_unit(u) -> None:
+            wire.send_msg(
+                sock,
+                {"type": "work_unit", "row_start": u.row_start, "row_end": u.row_end},
+            )
+
+        def recv_result(expect: dict) -> None:
+            msg = wire.recv_msg(sock)
+            if msg.get("type") != "rows_ready":
+                raise RuntimeError(f"unexpected node message: {msg.get('type')!r}")
+            u = expect.pop(msg["row_start"])
+            rows = wire.decode_rows(msg)
+            sink.put(RowsReady(WorkUnitResult(work_unit=u, rows=rows)))
+
+        in_flight: dict = {}
+        # Prime the pipeline (workers.rs:161-175).
+        for _ in range(self.PIPELINE_DEPTH):
+            u = unit_queue.get()
+            if u is None:
+                # Fewer units than pipeline depth; drain and finish.
+                for _ in range(len(in_flight)):
+                    recv_result(in_flight)
+                wire.send_msg(sock, {"type": "done"})
+                return
+            send_unit(u)
+            in_flight[u.row_start] = u
+
+        # Lock-step: one result in, one unit out (workers.rs:179-201).
+        while True:
+            u = unit_queue.get()
+            if u is None:
+                break
+            recv_result(in_flight)
+            send_unit(u)
+            in_flight[u.row_start] = u
+
+        # Drain outstanding results (workers.rs:203-222).
+        while in_flight:
+            recv_result(in_flight)
+        wire.send_msg(sock, {"type": "done"})
+
+    def stop(self) -> None:
+        self._handle.send_stop()
+        self._thread.join(timeout=30)

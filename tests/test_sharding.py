@@ -1,0 +1,77 @@
+"""Multi-device tests on the virtual 8-CPU mesh.
+
+The key invariant: sharded rendering must produce *bit-identical* radiance
+sums to the single-device renderer, because counter-based sampling makes
+every lane's stream independent of where it executes (the property the
+reference could never have — its per-worker sample tables differ per
+process, workers.rs:46-54)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from flux_tpu.parallel import MeshRenderer, make_mesh
+from flux_tpu.render import Renderer
+from tests.test_render import ENV, env_sphere, make_scene
+from flux_tpu.scene import MaterialData, MaterialKind, PlaneData, SphereData
+
+
+def scene():
+    floor = PlaneData(
+        point=(0.0, 0.0, 0.0),
+        normal=(0.0, 1.0, 0.0),
+        material=MaterialData(kind=MaterialKind.MATTE, color=(0.5, 0.5, 0.5), param=1.0),
+    )
+    ball = SphereData(
+        center=(0.0, 1.0, 0.0),
+        radius=1.0,
+        material=MaterialData(
+            kind=MaterialKind.GLOSSY, color=(0.9, 1.0, 0.9), param=0.9, exponent=100.0
+        ),
+    )
+    return make_scene([env_sphere(1.0), floor, ball], w=32, h=16)
+
+
+@pytest.mark.parametrize("rows_shards,spp_shards", [(1, 8), (8, 1), (2, 4), (4, 2)])
+def test_sharded_matches_single_device(devices8, rows_shards, spp_shards):
+    sd = scene()
+    root, depth, seed = 4, 4, 11
+    single = Renderer(sd, root, depth, seed=seed, target_lanes=1 << 18)
+    expect = single.render_rows(0, 16)
+
+    mesh = make_mesh(devices8, rows_shards=rows_shards, spp_shards=spp_shards)
+    mr = MeshRenderer(sd, root, depth, seed=seed, mesh=mesh, target_lanes=1 << 18)
+    got = mr.render_rows(0, 16)
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
+def test_sharded_nondivisible_spp(devices8):
+    """root=3 → 9 samples over 8 spp-shards: the overhang mask must keep
+    the estimator exact."""
+    sd = scene()
+    single = Renderer(sd, 3, 3, seed=5, target_lanes=1 << 18)
+    expect = single.render_rows(0, 16)
+    mesh = make_mesh(devices8, rows_shards=1, spp_shards=8)
+    mr = MeshRenderer(sd, 3, 3, seed=5, mesh=mesh, target_lanes=1 << 18)
+    got = mr.render_rows(0, 16)
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
+def test_sharded_nondivisible_rows(devices8):
+    """13 rows over 8 row-shards: padding rows render and are cropped."""
+    sd = scene()
+    single = Renderer(sd, 2, 3, seed=5, target_lanes=1 << 18)
+    expect = single.render_rows(0, 13)
+    mesh = make_mesh(devices8, rows_shards=8, spp_shards=1)
+    mr = MeshRenderer(sd, 2, 3, seed=5, mesh=mesh, target_lanes=1 << 18)
+    got = mr.render_rows(0, 13)
+    assert got.shape == (13, 32, 3)
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
+def test_mesh_shapes():
+    with pytest.raises(ValueError):
+        make_mesh(jax.devices()[:4], rows_shards=8, spp_shards=1)
+    m = make_mesh(jax.devices()[:8], rows_shards=2)
+    assert m.shape == {"rows": 2, "spp": 4}
