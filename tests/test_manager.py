@@ -1,0 +1,179 @@
+"""End-to-end scheduler tests: manager + local worker + sinks + cancellation.
+
+This is the pipeline the reference exercises only manually via its CLI
+(SURVEY.md §4); here every stage is asserted: event ordering, image
+assembly, multi-worker pull balancing, job cancellation, and sequential
+jobs reusing one manager (the preview's +/- path, flux/src/main.rs:296-316).
+"""
+
+import os
+import queue
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from flux_tpu.image import read_ppm
+from flux_tpu.job import JobConfiguration
+from flux_tpu.manager import (
+    ConsoleResultReporter,
+    ImageBuilder,
+    ImageInfo,
+    MultiSink,
+    RenderManager,
+    RenderingFinished,
+    RenderingStarted,
+    RowsReady,
+)
+from flux_tpu.render import Renderer
+from flux_tpu.workers import LocalWorker
+from tests.test_render import env_sphere, make_scene
+
+
+def tiny_factory(job):
+    return Renderer(
+        job.scene_data,
+        sample_root=job.config.sample_root,
+        max_depth=job.config.max_trace_depth,
+        seed=job.config.seed,
+        target_lanes=1 << 16,
+    )
+
+
+@pytest.fixture
+def scene16():
+    return make_scene([env_sphere(0.5)], w=16, h=12)
+
+
+def drain(q):
+    events = []
+    while True:
+        try:
+            events.append(q.get_nowait())
+        except queue.Empty:
+            return events
+
+
+def test_render_job_end_to_end(scene16, tmp_path):
+    worker = LocalWorker(renderer_factory=tiny_factory)
+    manager = RenderManager([worker.handle()])
+    builder = ImageBuilder(output_dir=str(tmp_path))
+    events = queue.Queue()
+    sink = MultiSink([builder.sender(), events])
+
+    cfg = JobConfiguration(sample_root=2, max_trace_depth=3, rows_per_work_unit=5, seed=1)
+    handle = manager.schedule_job(scene16, cfg, sink)
+    assert handle.wait(timeout=120)
+    assert builder.wait_finished(timeout=60)
+
+    # Event ordering: ImageInfo, Started, RowsReady x3 (12 rows / 5), Finished.
+    evs = drain(events)
+    kinds = [type(e).__name__ for e in evs]
+    assert kinds[0] == "ImageInfo"
+    assert kinds[1] == "RenderingStarted"
+    assert kinds[-1] == "RenderingFinished"
+    assert kinds.count("RowsReady") == 3  # ceil(12/5) = 3 units
+
+    img = builder.get_image()
+    assert img.complete()
+    # Whole image is the env emissive value 0.5 * ENV.
+    expect = np.broadcast_to(0.5 * np.array([1.0, 0.9686, 0.8588], np.float32), img.pixels.shape)
+    np.testing.assert_allclose(img.pixels, expect, atol=1e-5)
+    # PPM written and re-readable.
+    ppm = read_ppm(os.path.join(str(tmp_path), "test.ppm"))
+    np.testing.assert_allclose(ppm, img.pixels, atol=1e-4)
+
+    manager.stop()
+    worker.stop()
+    builder.stop()
+
+
+def test_multiple_workers_share_queue(scene16, tmp_path):
+    """Two local workers pull from the shared queue; all rows arrive once."""
+    w1 = LocalWorker(renderer_factory=tiny_factory, name="a")
+    w2 = LocalWorker(renderer_factory=tiny_factory, name="b")
+    manager = RenderManager([w1.handle(), w2.handle()])
+    builder = ImageBuilder(output_dir=str(tmp_path))
+    cfg = JobConfiguration(sample_root=2, max_trace_depth=2, rows_per_work_unit=2, seed=1)
+    handle = manager.schedule_job(scene16, cfg, builder.sender())
+    assert handle.wait(timeout=120)
+    assert builder.wait_finished(timeout=60)
+    assert builder.get_image().complete()
+    manager.stop()
+    w1.stop()
+    w2.stop()
+    builder.stop()
+
+
+def test_sequential_jobs_one_manager(scene16, tmp_path):
+    """Resubmission with a different sample root (the +/- preview path)."""
+    worker = LocalWorker(renderer_factory=tiny_factory)
+    manager = RenderManager([worker.handle()])
+    builder = ImageBuilder(output_dir=str(tmp_path))
+    for root in (1, 2):
+        cfg = JobConfiguration(
+            sample_root=root, max_trace_depth=2, rows_per_work_unit=6, seed=1
+        )
+        handle = manager.schedule_job(scene16, cfg, builder.sender())
+        assert handle.wait(timeout=120)
+        assert builder.wait_finished(timeout=60)
+        assert builder.get_image().complete()
+    manager.stop()
+    worker.stop()
+    builder.stop()
+
+
+def test_cancellation_stops_early():
+    """Cancel mid-job: remaining units are dropped, the barrier releases,
+    and the manager stays usable (manager.rs:365-393 semantics)."""
+    sd = make_scene([env_sphere(0.5)], w=16, h=64)
+
+    gate = threading.Event()
+    slow_calls = []
+
+    class SlowRenderer:
+        def __init__(self, job):
+            self._r = tiny_factory(job)
+
+        def render_rows(self, row0, n_rows):
+            slow_calls.append(row0)
+            gate.wait(timeout=30)  # hold the first unit until cancelled
+            return self._r.render_rows(row0, n_rows)
+
+    worker = LocalWorker(renderer_factory=SlowRenderer)
+    manager = RenderManager([worker.handle()])
+    events = queue.Queue()
+    cfg = JobConfiguration(sample_root=1, max_trace_depth=1, rows_per_work_unit=1, seed=1)
+    handle = manager.schedule_job(sd, cfg, events)
+
+    # Wait for the first unit to start, then cancel and release the gate.
+    deadline = time.time() + 30
+    while not slow_calls and time.time() < deadline:
+        time.sleep(0.01)
+    assert slow_calls
+    handle.cancel()
+    gate.set()
+    assert handle.wait(timeout=120)
+
+    evs = drain(events)
+    n_rows_done = sum(1 for e in evs if isinstance(e, RowsReady))
+    assert n_rows_done < 64  # far fewer than all 64 one-row units
+    assert isinstance(evs[-1], RenderingFinished)
+    manager.stop()
+    worker.stop()
+
+
+def test_console_reporter_smoke(scene16, capsys):
+    rep = ConsoleResultReporter()
+    worker = LocalWorker(renderer_factory=tiny_factory)
+    manager = RenderManager([worker.handle()])
+    cfg = JobConfiguration(sample_root=1, max_trace_depth=1, rows_per_work_unit=12, seed=0)
+    handle = manager.schedule_job(scene16, cfg, rep.sender())
+    assert handle.wait(timeout=120)
+    rep.stop()
+    manager.stop()
+    worker.stop()
+    out = capsys.readouterr().out
+    assert "scene: test" in out
+    assert "image 16 x 12 pixels" in out

@@ -1,0 +1,112 @@
+"""Loopback master↔node tests — the multi-node-on-one-machine pattern the
+reference supports implicitly (flux-node binds 0.0.0.0, flux connects to
+localhost; SURVEY.md §4 item 4), made into an actual test."""
+
+import queue
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+from flux_tpu import wire
+from flux_tpu.image import Image
+from flux_tpu.job import JobConfiguration
+from flux_tpu.manager import ImageBuilder, RenderManager, RowsReady
+from flux_tpu.node import serve
+from flux_tpu.render import Renderer
+from flux_tpu.workers import LocalWorker, NetworkWorker
+from tests.test_manager import tiny_factory
+from tests.test_render import env_sphere, make_scene
+
+ENV_HALF = 0.5 * np.array([1.0, 0.9686, 0.8588], np.float32)
+
+
+def free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture
+def node_endpoint(monkeypatch):
+    """Run a flux-node daemon in-process on a free loopback port."""
+    import flux_tpu.workers as workers_mod
+
+    # The node's LocalWorker must use the tiny test renderer factory.
+    monkeypatch.setattr(workers_mod, "default_renderer_factory", tiny_factory)
+    port = free_port()
+    ready = threading.Event()
+    t = threading.Thread(
+        target=serve,
+        kwargs=dict(host="127.0.0.1", port=port, max_connections=1, ready_event=ready),
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(timeout=10)
+    return f"127.0.0.1:{port}"
+
+
+def test_wire_roundtrip():
+    a, b = socket.socketpair()
+    rows = np.arange(2 * 3 * 3, dtype=np.float32).reshape(2, 3, 3)
+    wire.send_msg(a, wire.encode_rows(7, rows))
+    msg = wire.recv_msg(b)
+    assert msg["type"] == "rows_ready" and msg["row_start"] == 7
+    np.testing.assert_array_equal(wire.decode_rows(msg), rows)
+    a.close()
+    b.close()
+
+
+def test_network_render_matches_local(node_endpoint, tmp_path):
+    """A job distributed to a remote node produces the exact local image
+    (determinism across processes — the reference cannot do this)."""
+    sd = make_scene([env_sphere(0.5)], w=16, h=12)
+    cfg = JobConfiguration(sample_root=2, max_trace_depth=3, rows_per_work_unit=3, seed=4)
+
+    net = NetworkWorker(node_endpoint)
+    assert net.info().num_devices >= 1
+    manager = RenderManager([net.handle()])
+    builder = ImageBuilder(output_dir=str(tmp_path))
+    handle = manager.schedule_job(sd, cfg, builder.sender())
+    assert handle.wait(timeout=180)
+    assert builder.wait_finished(timeout=60)
+    got = builder.get_image()
+    assert got.complete()
+
+    local = Renderer(sd, 2, 3, seed=4, target_lanes=1 << 16).render_image()
+    np.testing.assert_array_equal(got.pixels, local)
+
+    manager.stop()
+    net.stop()
+    builder.stop()
+
+
+def test_mixed_local_and_network_workers(node_endpoint, tmp_path):
+    """Local + remote worker pulling from one queue — the reference's
+    default topology (flux/src/main.rs:42-66)."""
+    sd = make_scene([env_sphere(0.5)], w=16, h=24)
+    cfg = JobConfiguration(sample_root=2, max_trace_depth=2, rows_per_work_unit=2, seed=4)
+
+    local = LocalWorker(renderer_factory=tiny_factory)
+    net = NetworkWorker(node_endpoint)
+    manager = RenderManager([local.handle(), net.handle()])
+    builder = ImageBuilder(output_dir=str(tmp_path))
+    handle = manager.schedule_job(sd, cfg, builder.sender())
+    assert handle.wait(timeout=180)
+    assert builder.wait_finished(timeout=60)
+    img = builder.get_image()
+    assert img.complete()
+    expect = np.broadcast_to(ENV_HALF, img.pixels.shape)
+    np.testing.assert_allclose(img.pixels, expect, atol=1e-5)
+    manager.stop()
+    local.stop()
+    net.stop()
+    builder.stop()
+
+
+def test_connect_failure_raises():
+    with pytest.raises(OSError):
+        NetworkWorker("127.0.0.1:1", connect_timeout=0.5)
