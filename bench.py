@@ -1,0 +1,77 @@
+"""Benchmark: the reference's headline workload on one TPU chip.
+
+Reference baseline (BASELINE.md / README.md:1): scenes/demo2.yml at 16384
+spp (sample_root=128, depth 5, 800×600) took 1479.900397 s on 44 CPU cores
+= 5.31 Msamples/s for the whole box.  This benchmark renders the *same*
+workload end-to-end on a single TPU chip and reports primary-sample
+throughput; ``vs_baseline`` is the ratio to the 44-core box's throughput
+(equivalently, the wall-clock speedup on the identical workload).
+
+Prints exactly one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MSAMPLES_PER_S = 800 * 600 * 16384 / 1479.900397 / 1e6  # 5.314
+
+ROOT = 128  # sample_root -> 16384 spp (README headline)
+DEPTH = 5
+W, H = 800, 600
+
+
+def main():
+    import jax
+
+    from flux_tpu.render import Renderer, finalize
+    from flux_tpu.scene import load_scene
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sd = load_scene(os.path.join(here, "scenes", "demo2.yml"))
+    assert sd.output_settings.image_width == W and sd.output_settings.image_height == H
+
+    n_dev = jax.device_count()
+    r = Renderer(sd, sample_root=ROOT, max_depth=DEPTH, seed=0)
+
+    # Warm up / compile both chunk shapes on a single band.
+    r.render_rows(0, H)
+
+    t0 = time.time()
+    img = r.render_image(rows_per_band=H)
+    wall = time.time() - t0
+
+    samples = W * H * ROOT * ROOT
+    msps = samples / wall / 1e6
+    msps_per_chip = msps / max(1, 1)  # bench drives exactly one chip
+
+    # Persist the render as evidence next to the bench result.
+    try:
+        from flux_tpu.image import write_png
+
+        os.makedirs(os.path.join(here, "artifacts"), exist_ok=True)
+        write_png(os.path.join(here, "artifacts", "demo2_16384spp.png"), img)
+    except Exception:
+        pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "demo2_16384spp_throughput",
+                "value": round(msps_per_chip, 2),
+                "unit": "Msamples/s/chip",
+                "vs_baseline": round(msps_per_chip / BASELINE_MSAMPLES_PER_S, 2),
+                "wall_clock_s": round(wall, 2),
+                "baseline_wall_clock_s": 1479.9,
+                "spp": ROOT * ROOT,
+                "devices": n_dev,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -11,3 +11,15 @@ fabric. See SURVEY.md for the structural map of the reference.
 __version__ = "0.1.0"
 
 from . import constants, samplers  # noqa: F401
+from .job import Job, JobConfiguration, JobID, WorkUnit  # noqa: F401
+from .render import Renderer  # noqa: F401
+from .scene import SceneData, compile_scene, load_scene, loads_scene  # noqa: F401
+
+
+def __getattr__(name):
+    # Lazy heavyweight submodules (keep `import flux_tpu` light).
+    if name in ("manager", "workers", "node", "parallel", "image", "cli"):
+        import importlib
+
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

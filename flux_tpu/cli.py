@@ -1,0 +1,194 @@
+"""flux-tpu master CLI — the ``flux`` binary equivalent.
+
+Flag surface mirrors flux/src/main.rs:126-205: positional scene file,
+``-n/--node`` (repeatable), ``-d/--depth`` (default 5), ``-R/--rows``
+(default 50), ``-L/--no-local``, ``-g/--preview``, ``-r/--root`` (default
+1).  The reference's ``-t/--threads`` becomes ``-t/--devices``: how many
+local chips to drive (default: all).  Added flags without a reference
+analog: ``--seed`` (deterministic renders — the reference has none),
+``--rows-shards`` (tile-sharding axis of the device mesh), ``--png``,
+``--output-dir``.
+
+The live preview (``-g``) replaces the reference's SDL window
+(flux/src/main.rs:216-323) with a progressive ``<scene>-preview.png``
+refreshed as work units land, suitable for zero-display TPU hosts.
+
+Run: ``python -m flux_tpu.cli scenes/demo2.yml -r 128 -d 5``
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from .debug import d_println, set_debug
+from .job import JobConfiguration
+from .manager import ImageBuilder, MultiSink, RenderManager
+from .scene import load_scene
+
+DEFAULT_SAMPLE_ROOT = 1
+DEFAULT_DEPTH = 5
+DEFAULT_ROWS_PER_UNIT = 50
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="flux-tpu", description="TPU-native distributed Monte Carlo path tracer"
+    )
+    p.add_argument("scene_file", help="YAML scene file")
+    p.add_argument(
+        "-n",
+        "--node",
+        action="append",
+        default=[],
+        metavar="ADDR[:PORT]",
+        help="render node to connect to (repeatable)",
+    )
+    p.add_argument("-d", "--depth", type=int, default=DEFAULT_DEPTH, help="maximum trace depth")
+    p.add_argument(
+        "-R", "--rows", type=int, default=DEFAULT_ROWS_PER_UNIT, help="rows per work unit"
+    )
+    p.add_argument(
+        "-L", "--no-local", action="store_true", help="do not use a local render worker"
+    )
+    p.add_argument("-g", "--preview", action="store_true", help="write a live preview PNG")
+    p.add_argument(
+        "-t",
+        "--devices",
+        type=int,
+        default=None,
+        help="number of local devices to use (default: all)",
+    )
+    p.add_argument("-r", "--root", type=int, default=DEFAULT_SAMPLE_ROOT, help="sample root")
+    p.add_argument("--seed", type=int, default=0, help="RNG seed (renders are deterministic)")
+    p.add_argument(
+        "--rows-shards",
+        type=int,
+        default=1,
+        help="tile-sharding factor of the local device mesh (rest goes to sample sharding)",
+    )
+    p.add_argument("--output-dir", default=".", help="directory for output images")
+    p.add_argument("--png", action="store_true", help="also write a PNG next to the PPM")
+    p.add_argument("--verbose", action="store_true", help="enable debug tracing")
+    return p
+
+
+def make_local_worker(args):
+    import jax
+
+    from .workers import LocalWorker
+
+    devices = jax.devices()
+    if args.devices is not None:
+        devices = devices[: max(1, args.devices)]
+
+    if len(devices) > 1:
+        from .parallel import MeshRenderer, make_mesh
+
+        mesh = make_mesh(devices, rows_shards=args.rows_shards)
+
+        def factory(job):
+            return MeshRenderer(
+                job.scene_data,
+                sample_root=job.config.sample_root,
+                max_depth=job.config.max_trace_depth,
+                seed=job.config.seed,
+                mesh=mesh,
+            )
+
+    else:
+        from .render import Renderer
+
+        def factory(job):
+            return Renderer(
+                job.scene_data,
+                sample_root=job.config.sample_root,
+                max_depth=job.config.max_trace_depth,
+                seed=job.config.seed,
+            )
+
+    return LocalWorker(renderer_factory=factory)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.verbose:
+        set_debug(True)
+
+    scene = load_scene(args.scene_file)
+
+    if args.no_local and not args.node:
+        print("No workers specified, exiting")
+        return 0
+
+    workers = []
+    handles = []
+    if not args.no_local:
+        w = make_local_worker(args)
+        info = w.info()
+        print(f"Local worker ready, info:\nDevices: {info.num_devices} ({info.platform})")
+        workers.append(w)
+        handles.append(w.handle())
+
+    from .workers import NetworkWorker
+
+    for endpoint in args.node:
+        print(f"Connecting to {endpoint}")
+        try:
+            w = NetworkWorker(endpoint)
+        except OSError as e:
+            print(f"Could not connect network node '{endpoint}': {e}")
+            return 1
+        info = w.info()
+        print(f"Network worker ready, info:\nDevices: {info.num_devices} ({info.platform})")
+        workers.append(w)
+        handles.append(w.handle())
+
+    print("Starting rendering manager")
+    manager = RenderManager(handles)
+    jobcfg = JobConfiguration(
+        sample_root=args.root,
+        max_trace_depth=args.depth,
+        rows_per_work_unit=args.rows,
+        seed=args.seed,
+    )
+
+    builder = ImageBuilder(output_dir=args.output_dir, write_png_too=args.png)
+    print("Sending job to rendering manager")
+    job = manager.schedule_job(scene, jobcfg, builder.sender())
+
+    if args.preview:
+        from .image import write_png
+
+        import os
+
+        preview_path = os.path.join(
+            args.output_dir, f"{scene.scene_name}-preview.png"
+        )
+        last = -1.0
+        while not job.wait(timeout=0.5):
+            img = builder.get_image()
+            if img is not None:
+                done = float(img.filled_rows.mean())
+                if done != last:
+                    write_png(preview_path, img)
+                    print(f"preview: {done * 100:.0f}% rows done -> {preview_path}")
+                    last = done
+    else:
+        job.wait()
+
+    builder.wait_finished(timeout=60)
+    if builder.last_path:
+        print(f"Wrote {builder.last_path}")
+
+    print("Shutting down")
+    builder.stop()
+    for w in workers:
+        w.stop()
+    manager.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -135,3 +135,34 @@ def serve(host: str = "0.0.0.0", port: int = DEFAULT_PORT, *, max_connections=No
     finally:
         srv.close()
         worker.stop()
+
+
+def main(argv=None) -> int:
+    """flux-node CLI (flux-node/src/main.rs:119-152): ``-H/--host``,
+    ``-p/--port``, ``-t/--devices`` (how many local chips to serve)."""
+    import argparse
+
+    import jax
+
+    p = argparse.ArgumentParser(prog="flux-node-tpu", description="Render node daemon")
+    p.add_argument("-H", "--host", default="0.0.0.0")
+    p.add_argument("-p", "--port", type=int, default=DEFAULT_PORT)
+    p.add_argument(
+        "-t", "--devices", type=int, default=None, help="local devices to serve (default: all)"
+    )
+    p.add_argument("--verbose", action="store_true")
+    args = p.parse_args(argv)
+    if args.verbose:
+        from .debug import set_debug
+
+        set_debug(True)
+    n = len(jax.devices())
+    print(f"flux-node-tpu: serving {min(args.devices or n, n)} of {n} local devices")
+    serve(host=args.host, port=args.port)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
