@@ -54,7 +54,15 @@ class Image:
 
 def ppm_bytes(pixels: np.ndarray) -> bytes:
     """Encode (H, W, 3) floats as 16-bit ASCII PPM (P3), one pixel per line
-    — byte-compatible with the reference writer (image.rs:43-61)."""
+    — byte-compatible with the reference writer (image.rs:43-61).
+
+    Uses the native C++ encoder when available (~100× faster on full
+    frames); this pure-Python path is the behavioral reference."""
+    from .native import ppm_encode_native
+
+    native = ppm_encode_native(np.asarray(pixels, np.float32))
+    if native is not None:
+        return native
     h, w = pixels.shape[:2]
     q = (np.asarray(pixels, np.float64) * 65535.99).astype(np.uint16)
     buf = io.StringIO()
