@@ -1,0 +1,156 @@
+"""Progressive rendering with sample-level checkpoint / resume.
+
+The reference has no checkpointing at all — partial progress lives only in
+the ImageBuilder's memory and dies with the process (SURVEY.md §5).  Its
+work-unit/row-accumulator design is checkpoint-shaped though, and with
+counter-based deterministic sampling a checkpoint becomes trivial and
+*exact*: the accumulator is a pure sum over disjoint sample-index ranges,
+so persisting (radiance-sum, samples_done) lets a resumed process continue
+the identical sample stream and produce the bit-identical final image.
+
+A :class:`ProgressiveRenderer` renders the full frame in sample passes
+(useful on its own for preview-quality-first rendering) and can snapshot
+after any pass.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import numpy as np
+
+from .render import Renderer, finalize, plan_chunks, render_block
+from .scene import SceneData
+
+__all__ = ["ProgressiveRenderer", "save_checkpoint", "load_checkpoint"]
+
+_FORMAT = 1
+
+
+def _config_fingerprint(sd: SceneData, root: int, depth: int, seed: int) -> str:
+    """Hash of everything that determines the sample stream; a checkpoint
+    only resumes into an identical configuration."""
+    blob = json.dumps(
+        {"scene": sd.to_dict(), "root": root, "depth": depth, "seed": seed},
+        sort_keys=True,
+    ).encode()
+    return hashlib.sha256(blob).hexdigest()
+
+
+def save_checkpoint(path: str, acc: np.ndarray, samples_done: int, fingerprint: str) -> None:
+    tmp = path + ".tmp"
+    np.savez_compressed(
+        tmp if tmp.endswith(".npz") else tmp,
+        format=np.int32(_FORMAT),
+        acc=np.asarray(acc, np.float32),
+        samples_done=np.int64(samples_done),
+        fingerprint=np.frombuffer(fingerprint.encode(), np.uint8),
+    )
+    # numpy appends .npz to names without it
+    actual_tmp = tmp if tmp.endswith(".npz") else tmp + ".npz"
+    os.replace(actual_tmp, path)
+
+
+def load_checkpoint(path: str):
+    with np.load(path) as z:
+        if int(z["format"]) != _FORMAT:
+            raise ValueError(f"unsupported checkpoint format {int(z['format'])}")
+        return (
+            z["acc"].astype(np.float32),
+            int(z["samples_done"]),
+            z["fingerprint"].tobytes().decode(),
+        )
+
+
+class ProgressiveRenderer:
+    """Full-frame renderer that accumulates sample passes and can
+    checkpoint/resume between them.
+
+    Passes iterate the global sample index [0, root²) in chunks; after each
+    pass :meth:`peek` returns the current (averaged, tone-mapped) image —
+    progressively refining, which is what the reference's live preview
+    approximates spatially with row streaming.
+    """
+
+    def __init__(
+        self,
+        scene_data: SceneData,
+        sample_root: int,
+        max_depth: int,
+        seed: int = 0,
+        target_lanes: int = 32 << 20,
+        rows_per_band: Optional[int] = None,
+    ):
+        self._r = Renderer(
+            scene_data, sample_root, max_depth, seed=seed, target_lanes=target_lanes
+        )
+        self.width = self._r.width
+        self.height = self._r.height
+        self.root = self._r.root
+        self.spp = self.root * self.root
+        self.fingerprint = _config_fingerprint(scene_data, self.root, max_depth, seed)
+        self.acc = np.zeros((self.height, self.width, 3), np.float32)
+        self.samples_done = 0
+        self._rows_per_band = rows_per_band or min(self.height, 128)
+
+    def render_pass(self, n_samples: int) -> int:
+        """Accumulate the next ``n_samples`` sample indices across the whole
+        frame. Returns samples actually added (clipped at root²)."""
+        n = min(n_samples, self.spp - self.samples_done)
+        if n <= 0:
+            return 0
+        r = self._r
+        for row0 in range(0, self.height, self._rows_per_band):
+            n_rows = min(self._rows_per_band, self.height - row0)
+            chunk = max(1, r.target_lanes // (n_rows * self.width))
+            for s_off, s_n in plan_chunks(n, chunk):
+                part = render_block(
+                    r.scene,
+                    r.cam,
+                    np.int32(row0),
+                    np.uint32(self.samples_done + s_off),
+                    np.uint32(r.seed),
+                    img_w=self.width,
+                    img_h=self.height,
+                    n_rows=n_rows,
+                    n_samples=s_n,
+                    root=self.root,
+                    max_depth=r.max_depth,
+                )
+                self.acc[row0 : row0 + n_rows] += np.asarray(part)
+        self.samples_done += n
+        return n
+
+    def peek(self) -> np.ndarray:
+        """Current image: average of samples so far, tone-mapped."""
+        if self.samples_done == 0:
+            return np.zeros_like(self.acc)
+        import jax.numpy as jnp
+
+        from .color import max_to_one
+
+        img = max_to_one(jnp.asarray(self.acc) * np.float32(1.0 / self.samples_done))
+        return np.asarray(img)
+
+    @property
+    def complete(self) -> bool:
+        return self.samples_done >= self.spp
+
+    def save(self, path: str) -> None:
+        save_checkpoint(path, self.acc, self.samples_done, self.fingerprint)
+
+    def resume(self, path: str) -> None:
+        acc, done, fp = load_checkpoint(path)
+        if fp != self.fingerprint:
+            raise ValueError(
+                "checkpoint belongs to a different (scene, root, depth, seed) "
+                "configuration — refusing to resume"
+            )
+        if acc.shape != self.acc.shape:
+            raise ValueError(f"checkpoint shape {acc.shape} != {self.acc.shape}")
+        self.acc = acc
+        self.samples_done = done

@@ -151,6 +151,15 @@ class WorkerHandle:
         self._dead.set()
         self._q.put(None)
 
+    def mark_dead(self) -> None:
+        """Workers call this on unrecoverable failure (e.g. a dropped node
+        connection); the manager stops dispatching to this handle."""
+        self._dead.set()
+
+    @property
+    def alive(self) -> bool:
+        return not self._dead.is_set()
+
 
 # ---------------------------------------------------------------------------
 # Job handle (manager.rs:55-70)
@@ -297,6 +306,22 @@ class ImageBuilder:
         self._thread.join(timeout=30)
 
 
+class _CompletionTracker:
+    """Pass-through sink recording which work units produced rows — the
+    bookkeeping behind lost-unit retry."""
+
+    def __init__(self, sink):
+        self._sink = sink
+        self._lock = threading.Lock()
+        self.completed = set()
+
+    def put(self, ev) -> None:
+        if isinstance(ev, RowsReady):
+            with self._lock:
+                self.completed.add(ev.result.work_unit.row_start)
+        self._sink.put(ev)
+
+
 # ---------------------------------------------------------------------------
 # The manager (manager.rs:72-219)
 
@@ -327,21 +352,16 @@ class RenderManager:
                 d_println(f"Render manager: job {job.id} failed: {e!r}")
             done.set()
 
-    def _run_job(self, job: Job, cancel: threading.Event, sink) -> None:
-        sink.put(
-            ImageInfo(
-                scene_name=job.scene_data.scene_name,
-                width=job.scene_data.output_settings.image_width,
-                height=job.scene_data.output_settings.image_height,
-            )
-        )
-
-        # Pull-based load balancer: all workers share one bounded queue
-        # (manager.rs:100); the producer stops early on cancellation and
-        # then delivers one sentinel per worker.
+    def _dispatch_round(self, job: Job, units, cancel, sink) -> None:
+        """One pull-queue round over the currently-alive workers
+        (manager.rs:100-166): a bounded(1) shared queue, a producer that
+        stops early on cancellation and then delivers one sentinel per
+        worker, and a barrier over the workers' completions."""
+        workers = [w for w in self._workers if w.alive]
+        if not workers:
+            raise RuntimeError("no alive workers")
         unit_queue: "queue.Queue" = queue.Queue(maxsize=1)
-        units = job.work_units()
-        n_workers = len(self._workers)
+        n_workers = len(workers)
 
         def produce():
             d_println("Work queue producer starting")
@@ -358,23 +378,51 @@ class RenderManager:
         )
         producer.start()
 
+        wg = WaitGroup()
+        wg.add(n_workers)
+        for w in workers:
+            w.send(job, unit_queue, sink, wg)
+
+        d_println("Render manager: waiting for job completion or cancellation")
+        wg.wait()
+        producer.join()
+
+    def _run_job(self, job: Job, cancel: threading.Event, sink) -> None:
+        sink.put(
+            ImageInfo(
+                scene_name=job.scene_data.scene_name,
+                width=job.scene_data.output_settings.image_width,
+                height=job.scene_data.output_settings.image_height,
+            )
+        )
+
+        units = job.work_units()
+        tracker = _CompletionTracker(sink)
+
         sink.put(
             RenderingStarted(
                 job_id=job.id, start_time=time.time(), monotonic=time.monotonic()
             )
         )
 
-        wg = WaitGroup()
-        wg.add(n_workers)
-        for w in self._workers:
-            w.send(job, unit_queue, sink, wg)
+        try:
+            self._dispatch_round(job, units, cancel, tracker)
 
-        d_println("Render manager: waiting for job completion or cancellation")
-        wg.wait()
-        producer.join()
-        d_println("Render manager: all workers done")
-
-        sink.put(RenderingFinished(end_time=time.time(), monotonic=time.monotonic()))
+            # Fault tolerance the reference lacks (it panics on a dead
+            # worker, manager.rs:158-161): units lost to failed workers are
+            # re-dispatched once to the survivors.
+            if not cancel.is_set():
+                missing = [u for u in units if u.row_start not in tracker.completed]
+                if missing:
+                    d_println(
+                        f"Render manager: retrying {len(missing)} lost work units"
+                    )
+                    self._dispatch_round(job, missing, cancel, tracker)
+        finally:
+            d_println("Render manager: all workers done")
+            sink.put(
+                RenderingFinished(end_time=time.time(), monotonic=time.monotonic())
+            )
 
     def schedule_job(
         self, scene_data: SceneData, config: JobConfiguration, result_sink

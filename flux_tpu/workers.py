@@ -107,11 +107,13 @@ class LocalWorker:
                     rows = renderer.render_rows(unit.row_start, unit.num_rows)
                     sink.put(RowsReady(WorkUnitResult(work_unit=unit, rows=rows)))
             except Exception as e:
+                # Keep serving future jobs (the manager retries lost units);
+                # the reference would panic the whole process here
+                # (manager.rs:158-161).
                 d_println(f"LocalWorker: job {job.id} failed: {e!r}")
                 # Drain remaining units so the producer and barrier release.
                 while unit_queue.get() is not None:
                     pass
-                raise
             finally:
                 wg.done()
 
@@ -174,10 +176,16 @@ class NetworkWorker:
                 self._run_job(job, unit_queue, sink)
             except Exception as e:
                 d_println(f"NetworkWorker[{self.endpoint}]: job failed: {e!r}")
+                if isinstance(e, (OSError, ConnectionError, RuntimeError)):
+                    # Dropped/byzantine link: stop receiving work; the
+                    # manager re-dispatches this worker's lost units.
+                    self._handle.mark_dead()
                 while unit_queue.get() is not None:
                     pass
             finally:
                 wg.done()
+                if not self._handle.alive:
+                    return
 
     def _run_job(self, job: Job, unit_queue, sink) -> None:
         sock = self._sock
