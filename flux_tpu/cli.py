@@ -71,7 +71,68 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", default=".", help="directory for output images")
     p.add_argument("--png", action="store_true", help="also write a PNG next to the PPM")
     p.add_argument("--verbose", action="store_true", help="enable debug tracing")
+    p.add_argument(
+        "--progressive",
+        type=int,
+        metavar="SPP",
+        default=0,
+        help="render progressively in passes of SPP samples (local devices "
+        "only); refreshes the preview PNG after every pass",
+    )
+    p.add_argument(
+        "--checkpoint",
+        metavar="PATH",
+        default=None,
+        help="with --progressive: save a resumable checkpoint after each pass",
+    )
+    p.add_argument(
+        "--resume",
+        action="store_true",
+        help="with --checkpoint: resume from the checkpoint if it exists",
+    )
+    p.add_argument(
+        "--profile-dir",
+        default=None,
+        help="capture a jax.profiler trace of the render into this directory",
+    )
     return p
+
+
+def run_progressive(args, scene) -> int:
+    """Single-host progressive render path (--progressive)."""
+    import os
+
+    from .checkpoint import ProgressiveRenderer
+    from .image import write_png, write_ppm
+
+    pr = ProgressiveRenderer(
+        scene,
+        sample_root=args.root,
+        max_depth=args.depth,
+        seed=args.seed,
+    )
+    if args.resume and args.checkpoint and os.path.exists(args.checkpoint):
+        pr.resume(args.checkpoint)
+        print(f"resumed at {pr.samples_done}/{pr.spp} spp from {args.checkpoint}")
+
+    preview_path = os.path.join(args.output_dir, f"{scene.scene_name}-preview.png")
+    t0 = time.time()
+    while not pr.complete:
+        n = pr.render_pass(args.progressive)
+        done = pr.samples_done
+        rate = done * pr.width * pr.height / max(time.time() - t0, 1e-9) / 1e6
+        print(f"pass done: {done}/{pr.spp} spp ({rate:.1f} Msamples/s)")
+        if args.preview:
+            write_png(preview_path, pr.peek())
+        if args.checkpoint:
+            pr.save(args.checkpoint)
+    img = pr.peek()
+    out = os.path.join(args.output_dir, f"{scene.scene_name}.ppm")
+    write_ppm(out, img)
+    print(f"Wrote {out}")
+    if args.png:
+        write_png(out.rsplit(".", 1)[0] + ".png", img)
+    return 0
 
 
 def make_local_worker(args):
@@ -117,6 +178,18 @@ def main(argv=None) -> int:
         set_debug(True)
 
     scene = load_scene(args.scene_file)
+
+    if args.profile_dir:
+        from .metrics import profile_trace
+
+        with profile_trace(args.profile_dir):
+            return _run_job_path(args, scene)
+    return _run_job_path(args, scene)
+
+
+def _run_job_path(args, scene) -> int:
+    if args.progressive:
+        return run_progressive(args, scene)
 
     if args.no_local and not args.node:
         print("No workers specified, exiting")
