@@ -1,0 +1,174 @@
+"""Unit tests of the compute kernels: intersection, AABB, BRDF directions."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flux_tpu.ops.aabb import aabb_hit, sphere_bounds
+from flux_tpu.ops.brdf import sample_directions
+from flux_tpu.ops.intersect import intersect
+from flux_tpu.scene import (
+    MaterialData,
+    MaterialKind,
+    OutputSettings,
+    PlaneData,
+    SceneData,
+    SphereData,
+    CameraSettings,
+    CameraData,
+    compile_scene,
+)
+from flux_tpu.vec import Vec3
+
+
+def vec(x, y, z):
+    return Vec3(jnp.asarray([x], jnp.float32), jnp.asarray([y], jnp.float32), jnp.asarray([z], jnp.float32))
+
+
+def make_arrays(shapes):
+    sd = SceneData(
+        scene_name="t",
+        output_settings=OutputSettings(image_width=1, image_height=1, pixel_size=1.0),
+        background=(0, 0, 0),
+        shapes=tuple(shapes),
+        camera_settings=CameraSettings(eye=(0, 0, -5), look_at=(0, 0, 0), up=(0, 1, 0)),
+        camera_data=CameraData(),
+    )
+    return compile_scene(sd)
+
+
+MATTE = MaterialData(kind=MaterialKind.MATTE, color=(1, 1, 1), param=1.0)
+
+
+class TestIntersect:
+    def test_sphere_head_on(self):
+        scene = make_arrays(
+            [SphereData(center=(0.0, 0.0, 0.0), radius=1.0, material=MATTE)]
+        )
+        hit = intersect(scene, vec(0, 0, -5), vec(0, 0, 1))
+        assert bool(hit.mask[0])
+        assert float(hit.t[0]) == pytest.approx(4.0, abs=1e-5)
+        assert float(hit.normal.z[0]) == pytest.approx(-1.0, abs=1e-5)
+        assert int(hit.shape[0]) == 0
+
+    def test_sphere_miss(self):
+        scene = make_arrays(
+            [SphereData(center=(0.0, 0.0, 0.0), radius=1.0, material=MATTE)]
+        )
+        hit = intersect(scene, vec(0, 3, -5), vec(0, 0, 1))
+        assert not bool(hit.mask[0])
+        assert np.isinf(float(hit.t[0]))
+
+    def test_inside_sphere_uses_far_root(self):
+        """Origin inside the sphere: near root < T_MIN, far root accepted
+        (shapes.rs:197-211)."""
+        scene = make_arrays(
+            [SphereData(center=(0.0, 0.0, 0.0), radius=2.0, material=MATTE)]
+        )
+        hit = intersect(scene, vec(0, 0, 0), vec(0, 0, 1))
+        assert bool(hit.mask[0])
+        assert float(hit.t[0]) == pytest.approx(2.0, abs=1e-5)
+
+    def test_inverted_sphere_normal_flipped(self):
+        scene = make_arrays(
+            [SphereData(center=(0.0, 0.0, 0.0), radius=2.0, material=MATTE, invert=True)]
+        )
+        hit = intersect(scene, vec(0, 0, 0), vec(0, 0, 1))
+        # outward normal (0,0,1) flipped to (0,0,-1)
+        assert float(hit.normal.z[0]) == pytest.approx(-1.0, abs=1e-5)
+
+    def test_nearest_wins_and_tie_break(self):
+        near = SphereData(center=(0.0, 0.0, 2.0), radius=0.5, material=MATTE)
+        far = SphereData(center=(0.0, 0.0, 5.0), radius=0.5, material=MATTE)
+        scene = make_arrays([far, near])
+        hit = intersect(scene, vec(0, 0, 0), vec(0, 0, 1))
+        assert int(hit.shape[0]) == 1  # the nearer sphere, index 1
+        assert float(hit.t[0]) == pytest.approx(1.5, abs=1e-5)
+
+    def test_plane(self):
+        scene = make_arrays(
+            [PlaneData(point=(0.0, -1.0, 0.0), normal=(0.0, 1.0, 0.0), material=MATTE)]
+        )
+        hit = intersect(scene, vec(0, 0, 0), vec(0, -1, 0))
+        assert bool(hit.mask[0])
+        assert float(hit.t[0]) == pytest.approx(1.0, abs=1e-6)
+        # parallel ray misses
+        hit2 = intersect(scene, vec(0, 0, 0), vec(1, 0, 0))
+        assert not bool(hit2.mask[0])
+
+    def test_t_min_epsilon(self):
+        """A hit closer than T_MIN is rejected (self-intersection guard)."""
+        scene = make_arrays(
+            [PlaneData(point=(0.0, 0.0, 0.0), normal=(0.0, 1.0, 0.0), material=MATTE)]
+        )
+        hit = intersect(scene, vec(0, 1e-4, 0), vec(0, -1, 0))
+        assert not bool(hit.mask[0])
+
+    def test_material_record_fused(self):
+        glossy = MaterialData(
+            kind=MaterialKind.GLOSSY, color=(0.5, 0.25, 1.0), param=0.5, exponent=64.0
+        )
+        scene = make_arrays(
+            [SphereData(center=(0.0, 0.0, 3.0), radius=1.0, material=glossy)]
+        )
+        hit = intersect(scene, vec(0, 0, 0), vec(0, 0, 1))
+        assert int(hit.kind[0]) == MaterialKind.GLOSSY
+        assert float(hit.exponent[0]) == 64.0
+        np.testing.assert_allclose(
+            [float(hit.albedo.x[0]), float(hit.albedo.y[0]), float(hit.albedo.z[0])],
+            [0.25, 0.125, 0.5],
+            atol=1e-6,
+        )
+
+
+class TestAABB:
+    def test_hit_and_miss(self):
+        c0, c1 = sphere_bounds((0.0, 0.0, 5.0), 1.0)
+        assert bool(aabb_hit(c0, c1, vec(0, 0, 0), vec(0, 0, 1))[0])
+        assert not bool(aabb_hit(c0, c1, vec(0, 3, 0), vec(0, 0, 1))[0])
+
+    def test_axis_parallel_ray(self):
+        c0, c1 = sphere_bounds((0.0, 0.0, 5.0), 1.0)
+        # dy == 0 but inside the y-slab: still hits
+        assert bool(aabb_hit(c0, c1, vec(0.5, 0.5, 0.0), vec(0, 0, 1))[0])
+        # dy == 0 and outside the y-slab: misses
+        assert not bool(aabb_hit(c0, c1, vec(0.5, 2.0, 0.0), vec(0, 0, 1))[0])
+
+    def test_box_behind_origin(self):
+        c0, c1 = sphere_bounds((0.0, 0.0, -5.0), 1.0)
+        assert not bool(aabb_hit(c0, c1, vec(0, 0, 0), vec(0, 0, 1))[0])
+
+
+class TestBRDFDirections:
+    def sample_many(self, kind, exponent, n=4096, seed=0):
+        rng = np.random.default_rng(seed)
+        sx = jnp.asarray(rng.random(n), jnp.float32)
+        sy = jnp.asarray(rng.random(n), jnp.float32)
+        normal = Vec3(*(jnp.full((n,), v) for v in (0.0, 1.0, 0.0)))
+        d = Vec3(*(jnp.full((n,), v) for v in (0.70710677, -0.70710677, 0.0)))
+        kinds = jnp.full((n,), kind, jnp.int32)
+        exps = jnp.full((n,), exponent, jnp.float32)
+        wi = sample_directions(kinds, exps, normal, d, sx, sy)
+        return np.stack([np.asarray(wi.x), np.asarray(wi.y), np.asarray(wi.z)], -1)
+
+    def test_matte_upper_hemisphere_unit(self):
+        wi = self.sample_many(MaterialKind.MATTE, 0.0)
+        assert (wi[:, 1] >= -1e-6).all()
+        np.testing.assert_allclose(np.linalg.norm(wi, axis=1), 1.0, atol=1e-5)
+        # cos(theta)=n·wi uniform in [0,1] for e=0 (reference's distribution)
+        assert abs(wi[:, 1].mean() - 0.5) < 0.02
+
+    def test_perfect_mirror_exact(self):
+        wi = self.sample_many(MaterialKind.REFLECTIVE, 0.0, n=4)
+        np.testing.assert_allclose(wi, [[0.70710677, 0.70710677, 0.0]] * 4, atol=1e-6)
+
+    def test_glossy_concentrates_around_mirror(self):
+        wi = self.sample_many(MaterialKind.GLOSSY, 1e5)
+        r = np.array([0.70710677, 0.70710677, 0.0])
+        cos_to_mirror = wi @ r
+        assert cos_to_mirror.min() > 0.99
+
+    def test_glossy_low_exponent_spreads(self):
+        wi = self.sample_many(MaterialKind.GLOSSY, 1.0)
+        r = np.array([0.70710677, 0.70710677, 0.0])
+        assert (wi @ r).std() > 0.1
