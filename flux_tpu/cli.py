@@ -172,6 +172,56 @@ def make_local_worker(args):
     return LocalWorker(renderer_factory=factory)
 
 
+def _preview_loop(args, scene, manager, builder, job, jobcfg) -> None:
+    """Progressive preview with the reference's interactive controls
+    (flux/src/main.rs:288-316): on a TTY, ``+``/``-`` re-submit the job at
+    sample_root ± 1 and ``q`` cancels; headless it just streams progress.
+    The preview itself is a PNG refreshed as rows land, replacing the SDL
+    window (main.rs:216-283)."""
+    import os
+    import select
+
+    from dataclasses import replace as dc_replace
+
+    from .image import write_png
+
+    preview_path = os.path.join(args.output_dir, f"{scene.scene_name}-preview.png")
+    interactive = sys.stdin.isatty()
+    if interactive:
+        print("preview controls: '+' more samples, '-' fewer, 'q' cancel")
+    last = -1.0
+    while True:
+        if job.wait(timeout=0.5):
+            break
+        img = builder.get_image()
+        if img is not None:
+            done = float(img.filled_rows.mean())
+            if done != last:
+                write_png(preview_path, img)
+                print(f"preview: {done * 100:.0f}% rows done -> {preview_path}")
+                last = done
+        if interactive:
+            ready, _, _ = select.select([sys.stdin], [], [], 0)
+            if not ready:
+                continue
+            key = sys.stdin.readline().strip()
+            if key == "q":
+                print("cancelling")
+                job.cancel()
+                job.wait(timeout=60)
+                break
+            if key in ("+", "-"):
+                new_root = jobcfg.sample_root + (1 if key == "+" else -1)
+                if new_root < 1:
+                    continue
+                print(f"re-rendering at sample root {new_root}")
+                job.cancel()
+                job.wait(timeout=60)
+                jobcfg = dc_replace(jobcfg, sample_root=new_root)
+                job = manager.schedule_job(scene, jobcfg, builder.sender())
+                last = -1.0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.verbose:
@@ -232,22 +282,7 @@ def _run_job_path(args, scene) -> int:
     job = manager.schedule_job(scene, jobcfg, builder.sender())
 
     if args.preview:
-        from .image import write_png
-
-        import os
-
-        preview_path = os.path.join(
-            args.output_dir, f"{scene.scene_name}-preview.png"
-        )
-        last = -1.0
-        while not job.wait(timeout=0.5):
-            img = builder.get_image()
-            if img is not None:
-                done = float(img.filled_rows.mean())
-                if done != last:
-                    write_png(preview_path, img)
-                    print(f"preview: {done * 100:.0f}% rows done -> {preview_path}")
-                    last = done
+        _preview_loop(args, scene, manager, builder, job, jobcfg)
     else:
         job.wait()
 

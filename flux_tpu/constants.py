@@ -14,3 +14,9 @@ INV_PI = 1.0 / math.pi
 
 # Default TCP port for render nodes (fluxcore/src/constants.rs:6).
 DEFAULT_PORT = 2000
+
+# Purpose salts separating the independent sample streams of a pixel
+# (the pixel_sets / disc_sets / hemi_sets analog, sampling.rs:12-33).
+SALT_AA = 0x41415341
+SALT_LENS = 0x4C454E53
+SALT_BOUNCE = 0x424F554E

@@ -1,0 +1,299 @@
+"""Pallas TPU megakernel: the entire render block in one kernel.
+
+The XLA path (flux_tpu/render.py) scans over bounces, which round-trips the
+~13-array path state through HBM between iterations.  This kernel runs the
+whole pipeline — camera rays, counter-based sampling, every bounce, and the
+per-pixel sample reduction — inside one ``pallas_call`` with all state
+resident in VMEM/registers, so HBM sees only the scene constants in and one
+radiance-sum block out.
+
+Lane layout: pixels ride the 128-wide lane axis, samples the sublane axis;
+each kernel instance owns a ``(S_BLK, 128)`` tile of (sample, pixel) lanes.
+The grid is ``(pixel_tiles, sample_tiles)`` with the sample dimension
+innermost so consecutive steps revisit the same output block and accumulate
+in place (the standard Pallas accumulation pattern).  Pixel→(row, col)
+mapping is precomputed host-side as tiny int arrays, avoiding in-kernel
+integer division.
+
+Everything inside reuses the same SoA ops as the XLA path —
+``ops.shade.bounce``, ``samplers``, ``camera.primary_rays`` operate on
+traced values of any shape — so the two backends produce *identical*
+samples and differ only in scheduling.  Parity is pinned by
+tests/test_pallas.py (interpret mode on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..camera import CameraArrays, primary_rays
+from ..constants import SALT_AA, SALT_BOUNCE, SALT_LENS
+from ..samplers.hash import hash_combine
+from ..samplers.patterns import cmj_point, mj_point
+from ..samplers.warps import to_poisson_disc
+from ..scene import SceneArrays
+from ..vec import Vec3
+from .shade import PathState, bounce
+
+__all__ = ["render_block_pallas"]
+
+LANES = 128  # pixel axis
+S_BLK = 64  # default samples per kernel instance (sublane axis)
+
+
+def _kernel(
+    # SMEM scalars
+    scalars_ref,  # (1, 4) int32: row0 (unused in-kernel), s0, seed, s_limit
+    cam_scalars_ref,  # (1, 4) f32: focal, lens_radius, vp_factor, adj_pixel
+    # VMEM blocks
+    rowcol_ref,  # (2, LANES) int32 block: absolute row / col per pixel lane
+    sphere_c_ref,  # (Ns, 3) f32
+    sphere_r_ref,  # (1, Ns) f32
+    sphere_i_ref,  # (1, Ns) f32
+    plane_p_ref,  # (Np, 3) f32
+    plane_n_ref,  # (Np, 3) f32
+    mat_kind_ref,  # (1, N) int32
+    mat_color_ref,  # (N, 3) f32
+    mat_param_ref,  # (1, N) f32
+    mat_exp_ref,  # (1, N) f32
+    bg_ref,  # (1, 3) f32
+    cam_vecs_ref,  # (4, 3) f32: eye, u, v, w
+    out_ref,  # (8, LANES) f32 block; rows 0..2 = rgb sums
+    *,
+    img_w: int,
+    img_h: int,
+    root: int,
+    max_depth: int,
+    s_blk: int,
+):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    s0 = scalars_ref[0, 1].astype(jnp.uint32)
+    seed = scalars_ref[0, 2].astype(jnp.uint32)
+    s_limit = scalars_ref[0, 3].astype(jnp.uint32)
+
+    # Rebuild the pytree views the shared ops expect (loads are tiny).
+    scene = SceneArrays(
+        sphere_center=sphere_c_ref[...],
+        sphere_radius=sphere_r_ref[0, :],
+        sphere_invert=sphere_i_ref[0, :],
+        plane_point=plane_p_ref[...],
+        plane_normal=plane_n_ref[...],
+        mat_kind=mat_kind_ref[0, :],
+        mat_color=mat_color_ref[...],
+        mat_param=mat_param_ref[0, :],
+        mat_exp=mat_exp_ref[0, :],
+        background=bg_ref[0, :],
+    )
+    cam = CameraArrays(
+        eye=cam_vecs_ref[0, :],
+        u=cam_vecs_ref[1, :],
+        v=cam_vecs_ref[2, :],
+        w=cam_vecs_ref[3, :],
+        focal_distance=cam_scalars_ref[0, 0],
+        lens_radius=cam_scalars_ref[0, 1],
+        vp_factor=cam_scalars_ref[0, 2],
+        adjusted_pixel_size=cam_scalars_ref[0, 3],
+    )
+
+    # Lane coordinates: (S_BLK, LANES).
+    row = jnp.broadcast_to(rowcol_ref[0, :][None, :], (s_blk, LANES))
+    col = jnp.broadcast_to(rowcol_ref[1, :][None, :], (s_blk, LANES))
+    s_idx = (
+        s0
+        + j.astype(jnp.uint32) * np.uint32(s_blk)
+        + jax.lax.broadcasted_iota(jnp.uint32, (s_blk, LANES), 0)
+    )
+
+    pixel_base = hash_combine(seed, row, col)
+    ax, ay = cmj_point(s_idx, root, hash_combine(pixel_base, SALT_AA))
+    ux, uy = cmj_point(s_idx, root, hash_combine(pixel_base, SALT_LENS))
+    lx, ly = to_poisson_disc(ux, uy)
+
+    o, d = primary_rays(cam, row, col, img_w, img_h, ax, ay, lx, ly)
+    shape = (s_blk, LANES)
+    ones = jnp.ones(shape, jnp.float32)
+    zeros = jnp.zeros(shape, jnp.float32)
+    state = PathState(
+        o=o,
+        d=d,
+        throughput=Vec3(ones, ones, ones),
+        radiance=Vec3(zeros, zeros, zeros),
+        alive=s_idx < s_limit,
+    )
+
+    for depth in range(1, max_depth + 1):
+        pat = hash_combine(pixel_base, SALT_BOUNCE, np.uint32(depth))
+        bx, by = mj_point(s_idx, root, pat)
+        state = bounce(scene, state, bx, by)
+
+    rad = state.radiance
+    out_ref[0, :] += jnp.sum(rad.x, axis=0)
+    out_ref[1, :] += jnp.sum(rad.y, axis=0)
+    out_ref[2, :] += jnp.sum(rad.z, axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "img_w",
+        "img_h",
+        "n_rows",
+        "n_samples",
+        "root",
+        "max_depth",
+        "interpret",
+        "s_blk",
+    ),
+)
+def render_block_pallas(
+    scene: SceneArrays,
+    cam: CameraArrays,
+    row0,
+    s0,
+    seed,
+    *,
+    img_w: int,
+    img_h: int,
+    n_rows: int,
+    n_samples: int,
+    root: int,
+    max_depth: int,
+    s_limit=None,
+    interpret: bool = False,
+    s_blk: int = S_BLK,
+):
+    """Drop-in replacement for render.render_block (same contract: radiance
+    sums over sample indices [s0, s0+n_samples) for a row band)."""
+    n_pix = n_rows * img_w
+    pix_tiles = -(-n_pix // LANES)
+    s_tiles = -(-n_samples // s_blk)
+    p_pad = pix_tiles * LANES
+
+    # Host-side pixel→(row, col) tables (avoids in-kernel integer div).
+    pix = jnp.arange(p_pad, dtype=jnp.int32)
+    rowcol = jnp.stack([jnp.int32(row0) + pix // img_w, pix % img_w])  # (2, p_pad)
+
+    if s_limit is None:
+        s_limit_v = jnp.uint32(s0) + jnp.uint32(n_samples)
+    else:
+        s_limit_v = jnp.uint32(s_limit)
+    # Lanes also stop at the requested chunk end (S_BLK padding).
+    s_limit_v = jnp.minimum(s_limit_v, jnp.uint32(s0) + jnp.uint32(n_samples))
+
+    scalars = jnp.stack(
+        [jnp.int32(row0), jnp.asarray(s0, jnp.int32), jnp.asarray(seed, jnp.int32),
+         s_limit_v.astype(jnp.int32)]
+    ).reshape(1, 4)
+    cam_scalars = jnp.stack(
+        [cam.focal_distance, cam.lens_radius, cam.vp_factor, cam.adjusted_pixel_size]
+    ).reshape(1, 4).astype(jnp.float32)
+    cam_vecs = jnp.stack([cam.eye, cam.u, cam.v, cam.w]).astype(jnp.float32)
+
+    # Zero-count padding: the kernel's rebuilt SceneArrays derives shape
+    # counts from array shapes, so empty categories get one *unhittable*
+    # fake entry (a sphere at y=1e18 whose |oc|² overflows the discriminant
+    # to -inf; a plane with a zero normal whose t is ±inf) plus a zero
+    # material row.
+    if scene.num_spheres == 0:
+        sphere_center = jnp.array([[0.0, 1e18, 0.0]], jnp.float32)
+        sphere_radius = jnp.ones((1,), jnp.float32)
+        sphere_invert = jnp.ones((1,), jnp.float32)
+        sph_mats = 1
+    else:
+        sphere_center = scene.sphere_center
+        sphere_radius = scene.sphere_radius
+        sphere_invert = scene.sphere_invert
+        sph_mats = 0
+    if scene.num_planes == 0:
+        plane_point = jnp.zeros((1, 3), jnp.float32)
+        plane_normal = jnp.zeros((1, 3), jnp.float32)
+        pl_mats = 1
+    else:
+        plane_point = scene.plane_point
+        plane_normal = scene.plane_normal
+        pl_mats = 0
+
+    ns = sphere_center.shape[0]
+    npl_ = plane_point.shape[0]
+    n_sph_real = scene.num_spheres
+
+    def pad_mats(a, fill_shape_tail=()):
+        """Insert fake material rows: one after the real sphere mats (if a
+        fake sphere was added), one at the end (if a fake plane was)."""
+        parts = []
+        zrow = jnp.zeros((1,) + fill_shape_tail, a.dtype)
+        parts.append(a[:n_sph_real])
+        if sph_mats:
+            parts.append(zrow)
+        parts.append(a[n_sph_real:])
+        if pl_mats:
+            parts.append(zrow)
+        return jnp.concatenate(parts, axis=0)
+
+    mat_kind = pad_mats(scene.mat_kind)
+    mat_color = pad_mats(scene.mat_color, (3,))
+    mat_param = pad_mats(scene.mat_param)
+    mat_exp = pad_mats(scene.mat_exp)
+
+    kern = functools.partial(
+        _kernel, img_w=img_w, img_h=img_h, root=root, max_depth=max_depth,
+        s_blk=s_blk,
+    )
+
+    grid = (pix_tiles, s_tiles)
+    smem = lambda shp: pl.BlockSpec(shp, lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+    whole = lambda shp: pl.BlockSpec(shp, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            smem((1, 4)),
+            smem((1, 4)),
+            pl.BlockSpec((2, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            whole((ns, 3)),
+            whole((1, ns)),
+            whole((1, ns)),
+            whole((npl_, 3)),
+            whole((npl_, 3)),
+            whole((1, ns + npl_)),
+            whole((ns + npl_, 3)),
+            whole((1, ns + npl_)),
+            whole((1, ns + npl_)),
+            whole((1, 3)),
+            whole((4, 3)),
+        ],
+        out_specs=pl.BlockSpec((8, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, p_pad), jnp.float32),
+        interpret=interpret,
+    )(
+        scalars,
+        cam_scalars,
+        rowcol,
+        sphere_center,
+        sphere_radius.reshape(1, ns),
+        sphere_invert.reshape(1, ns),
+        plane_point,
+        plane_normal,
+        mat_kind.reshape(1, ns + npl_),
+        mat_color,
+        mat_param.reshape(1, ns + npl_),
+        mat_exp.reshape(1, ns + npl_),
+        scene.background.reshape(1, 3),
+        cam_vecs,
+    )
+
+    rgb = out[:3, :n_pix]  # (3, n_pix)
+    return jnp.transpose(rgb).reshape(n_rows, img_w, 3)

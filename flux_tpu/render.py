@@ -47,9 +47,7 @@ from .vec import Vec3
 __all__ = ["render_block", "finalize", "Renderer", "plan_chunks"]
 
 # Purpose salts separating the independent sample streams of a pixel.
-SALT_AA = 0x41415341  # anti-aliasing jitter (pixel_sets analog)
-SALT_LENS = 0x4C454E53  # thin-lens disc sample (disc_sets analog)
-SALT_BOUNCE = 0x424F554E  # per-depth hemisphere sample (hemi_sets analog)
+from .constants import SALT_AA, SALT_BOUNCE, SALT_LENS  # noqa: E402
 
 
 def render_block_impl(
@@ -131,7 +129,9 @@ def render_block_impl(
         return bounce(scene, st, bx, by), None
 
     depths = jnp.arange(1, max_depth + 1, dtype=jnp.uint32)
-    state, _ = jax.lax.scan(step, state, depths)
+    # Full unroll: scan carries round-trip through HBM between iterations;
+    # unrolling lets XLA fuse across bounces (trace depths are small).
+    state, _ = jax.lax.scan(step, state, depths, unroll=True)
     # Paths still alive after max_depth bounces contribute black
     # (scene.rs:164-165) — their radiance simply stays un-augmented.
     rad = state.radiance
@@ -191,6 +191,7 @@ class Renderer:
         max_depth: int,
         seed: int = 0,
         target_lanes: int = 32 << 20,
+        backend: Optional[str] = None,
     ):
         self.scene_data = scene_data
         self.scene = compile_scene(scene_data)
@@ -205,6 +206,13 @@ class Renderer:
         self.max_depth = int(max_depth)
         self.seed = int(seed) & 0xFFFFFFFF
         self.target_lanes = int(target_lanes)
+        if backend is None:
+            # The megakernel wins ~2-4x on TPU hardware; its interpret mode
+            # on CPU would be pathologically slow, so default by platform.
+            backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
 
     def _chunk_size(self, n_rows: int) -> int:
         spp = self.root * self.root
@@ -213,9 +221,28 @@ class Renderer:
 
     def render_rows_sum(self, row0: int, n_rows: int):
         """Device-side radiance sum over all root² samples for a row band."""
+        spp = self.root * self.root
+        if self.backend == "pallas":
+            # The megakernel never materializes per-lane state in HBM, so a
+            # whole band at full sample depth is one launch.
+            from .ops.pallas_kernel import render_block_pallas
+
+            return render_block_pallas(
+                self.scene,
+                self.cam,
+                np.int32(row0),
+                np.uint32(0),
+                np.uint32(self.seed),
+                img_w=self.width,
+                img_h=self.height,
+                n_rows=n_rows,
+                n_samples=spp,
+                root=self.root,
+                max_depth=self.max_depth,
+            )
         acc = None
         chunk = self._chunk_size(n_rows)
-        for s0, n in plan_chunks(self.root * self.root, chunk):
+        for s0, n in plan_chunks(spp, chunk):
             part = render_block(
                 self.scene,
                 self.cam,

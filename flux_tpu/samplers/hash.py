@@ -75,8 +75,11 @@ def randfloat(i, p):
     i ^= np.uint32(0xDF6E307F)
     i ^= i >> 17
     i *= np.uint32(1) | (p >> 18)
-    # 2**-32 scale; the slightly larger divisor guarantees the result < 1.0f.
-    return i.astype(jnp.float32) * np.float32(1.0 / 4294967808.0)
+    # Scale the top 24 bits to [0, 1). Routing through int32 (always in
+    # range after the shift) matters: Mosaic has no uint32->float32 cast.
+    return (i >> 8).astype(jnp.int32).astype(jnp.float32) * np.float32(
+        1.0 / (1 << 24)
+    )
 
 
 def next_pow2(n: int) -> int:

@@ -45,12 +45,17 @@ def _is_pow2(n: int) -> bool:
     return n > 0 and (n & (n - 1)) == 0
 
 
+def _f32(u):
+    """uint32 (small values) -> float32 via int32 (Mosaic-compatible)."""
+    return u.astype(jnp.int32).astype(jnp.float32)
+
+
 def regular_point(s, root: int, pattern=0):
     """Center of cell s of the root×root grid (lib.rs:184-191)."""
     s = jnp.asarray(s, jnp.uint32)
     r = np.float32(root)
-    i = (s % np.uint32(root)).astype(jnp.float32)
-    j = (s // np.uint32(root)).astype(jnp.float32)
+    i = _f32(s % np.uint32(root))
+    j = _f32(s // np.uint32(root))
     half = np.float32(0.5)
     return (i + half) / r, (j + half) / r
 
@@ -59,8 +64,8 @@ def jittered_point(s, root: int, pattern):
     """One uniform point per root×root cell (lib.rs:35-44)."""
     s = jnp.asarray(s, jnp.uint32)
     r = np.float32(root)
-    i = (s % np.uint32(root)).astype(jnp.float32)
-    j = (s // np.uint32(root)).astype(jnp.float32)
+    i = _f32(s % np.uint32(root))
+    j = _f32(s // np.uint32(root))
     jx = randfloat(s, hash_combine(pattern, _SALT_JX))
     jy = randfloat(s, hash_combine(pattern, _SALT_JY))
     return (i + jx) / r, (j + jy) / r
@@ -80,17 +85,17 @@ def _multi_jitter(s, root: int, pattern, correlated: bool):
         else:
             px = hash_combine(pattern, _SALT_PX, i)
             py = hash_combine(pattern, _SALT_PY, j)
-        fine_x = permute_pow2(j, root, px).astype(jnp.float32)
-        fine_y = permute_pow2(i, root, py).astype(jnp.float32)
+        fine_x = _f32(permute_pow2(j, root, px))
+        fine_y = _f32(permute_pow2(i, root, py))
     else:
         # Canonical arrangement: n-rooks by construction, no shuffle.
-        fine_x = j.astype(jnp.float32)
-        fine_y = ((r_u - np.uint32(1)) - i).astype(jnp.float32)
+        fine_x = _f32(j)
+        fine_y = _f32((r_u - np.uint32(1)) - i)
 
     jx = randfloat(s, hash_combine(pattern, _SALT_JX))
     jy = randfloat(s, hash_combine(pattern, _SALT_JY))
-    x = (i.astype(jnp.float32) + (fine_x + jx) / r_f) / r_f
-    y = (j.astype(jnp.float32) + (fine_y + jy) / r_f) / r_f
+    x = (_f32(i) + (fine_x + jx) / r_f) / r_f
+    y = (_f32(j) + (fine_y + jy) / r_f) / r_f
     return x, y
 
 

@@ -52,6 +52,9 @@ def test_golden(name):
 
 
 if __name__ == "__main__":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # goldens are CPU-generated
     for name in ("demo1", "demo2"):
         img = _render(name)
         np.save(os.path.join(HERE, f"golden_{name}_80x60_r4_s42.npy"), img)
