@@ -155,6 +155,7 @@ def _kernel(
         "max_depth",
         "interpret",
         "s_blk",
+        "vma",
     ),
 )
 def render_block_pallas(
@@ -173,9 +174,13 @@ def render_block_pallas(
     s_limit=None,
     interpret: bool = False,
     s_blk: int = S_BLK,
+    vma=None,
 ):
     """Drop-in replacement for render.render_block (same contract: radiance
-    sums over sample indices [s0, s0+n_samples) for a row band)."""
+    sums over sample indices [s0, s0+n_samples) for a row band).
+
+    ``vma``: when invoked inside ``shard_map``, the tuple of mesh axis names
+    the output varies over (required by the varying-axes type system)."""
     n_pix = n_rows * img_w
     pix_tiles = -(-n_pix // LANES)
     s_tiles = -(-n_samples // s_blk)
@@ -256,6 +261,15 @@ def render_block_pallas(
     smem = lambda shp: pl.BlockSpec(shp, lambda i, j: (0, 0), memory_space=pltpu.SMEM)
     whole = lambda shp: pl.BlockSpec(shp, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
 
+    def _promote(x):
+        """Under shard_map all kernel operands must share the output's
+        varying-axes set; promote replicated ones."""
+        if not vma:
+            return x
+        cur = getattr(jax.typeof(x), "vma", frozenset())
+        missing = tuple(a for a in vma if a not in cur)
+        return jax.lax.pcast(x, missing, to="varying") if missing else x
+
     out = pl.pallas_call(
         kern,
         grid=grid,
@@ -276,23 +290,31 @@ def render_block_pallas(
             whole((4, 3)),
         ],
         out_specs=pl.BlockSpec((8, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, p_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (8, p_pad), jnp.float32,
+            **({"vma": frozenset(vma)} if vma else {}),
+        ),
         interpret=interpret,
     )(
-        scalars,
-        cam_scalars,
-        rowcol,
-        sphere_center,
-        sphere_radius.reshape(1, ns),
-        sphere_invert.reshape(1, ns),
-        plane_point,
-        plane_normal,
-        mat_kind.reshape(1, ns + npl_),
-        mat_color,
-        mat_param.reshape(1, ns + npl_),
-        mat_exp.reshape(1, ns + npl_),
-        scene.background.reshape(1, 3),
-        cam_vecs,
+        *map(
+            _promote,
+            (
+                scalars,
+                cam_scalars,
+                rowcol,
+                sphere_center,
+                sphere_radius.reshape(1, ns),
+                sphere_invert.reshape(1, ns),
+                plane_point,
+                plane_normal,
+                mat_kind.reshape(1, ns + npl_),
+                mat_color,
+                mat_param.reshape(1, ns + npl_),
+                mat_exp.reshape(1, ns + npl_),
+                scene.background.reshape(1, 3),
+                cam_vecs,
+            ),
+        )
     )
 
     rgb = out[:3, :n_pix]  # (3, n_pix)

@@ -45,11 +45,15 @@ def sharded_unit_fn(
     root: int,
     max_depth: int,
     chunk: int,
+    backend: str = "xla",
+    interpret: bool = False,
 ):
     """Build the jitted SPMD program that renders one work unit on ``mesh``.
 
     Returns ``fn(scene, cam, row0, seed) -> (n_rows_local * rows_shards,
-    img_w, 3)`` radiance sums over all root² samples.
+    img_w, 3)`` radiance sums over all root² samples.  ``backend`` selects
+    the per-device compute: the XLA wavefront or the Pallas megakernel
+    (ops/pallas_kernel.py) — collectives are identical either way.
     """
     spp = root * root
     spp_shards = mesh.shape["spp"]
@@ -62,6 +66,30 @@ def sharded_unit_fn(
         si = jax.lax.axis_index("spp")
         my_row0 = jnp.int32(row0) + ri.astype(jnp.int32) * np.int32(n_rows_local)
         base_s0 = si.astype(jnp.uint32) * np.uint32(per_dev)
+        # Mask overhang lanes: beyond this device's range (when chunking
+        # overshoots per_dev) or beyond root² entirely (when spp_shards
+        # doesn't divide root²).
+        s_limit = jnp.minimum(base_s0 + np.uint32(per_dev), np.uint32(spp))
+
+        if backend == "pallas":
+            from ..ops.pallas_kernel import render_block_pallas
+
+            acc = render_block_pallas(
+                scene,
+                cam,
+                my_row0,
+                base_s0,
+                seed,
+                img_w=img_w,
+                img_h=img_h,
+                n_rows=n_rows_local,
+                n_samples=per_dev,
+                root=root,
+                max_depth=max_depth,
+                s_limit=s_limit,
+                interpret=interpret,
+            )
+            return jax.lax.psum(acc, "spp")
 
         def body(i, acc):
             s0 = base_s0 + i.astype(jnp.uint32) * np.uint32(chunk)
@@ -78,12 +106,7 @@ def sharded_unit_fn(
                 root=root,
                 max_depth=max_depth,
                 pvary_axes=("rows", "spp"),
-                # Mask overhang lanes: beyond this device's range (when
-                # chunking overshoots per_dev) or beyond root² entirely
-                # (when spp_shards doesn't divide root²).
-                s_limit=jnp.minimum(
-                    base_s0 + np.uint32(per_dev), np.uint32(spp)
-                ),
+                s_limit=s_limit,
             )
             return acc + part
 
@@ -102,6 +125,11 @@ def sharded_unit_fn(
         mesh=mesh,
         in_specs=(P(), P(), P(), P()),
         out_specs=P("rows", None, None),
+        # The varying-axes checker cannot yet see through pallas_call's
+        # kernel trace (refs vs replicated index constants), so it is
+        # disabled for the megakernel backend; correctness is pinned by the
+        # sharding-parity tests instead.
+        check_vma=(backend != "pallas"),
     )
     return jax.jit(fn)
 
@@ -124,6 +152,8 @@ class MeshRenderer:
         mesh: Optional[Mesh] = None,
         rows_shards: int = 1,
         target_lanes: int = 32 << 20,
+        backend: Optional[str] = None,
+        interpret: bool = False,
     ):
         self.scene_data = scene_data
         self.scene = compile_scene(scene_data)
@@ -139,6 +169,10 @@ class MeshRenderer:
         self.seed = int(seed) & 0xFFFFFFFF
         self.mesh = mesh if mesh is not None else make_mesh(rows_shards=rows_shards)
         self.target_lanes = int(target_lanes)
+        if backend is None:
+            backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        self.backend = backend
+        self.interpret = bool(interpret)
         self._fns = {}
 
     def _unit_fn(self, n_rows_total: int):
@@ -157,6 +191,8 @@ class MeshRenderer:
                     root=self.root,
                     max_depth=self.max_depth,
                     chunk=chunk,
+                    backend=self.backend,
+                    interpret=self.interpret,
                 ),
                 n_local,
             )

@@ -75,3 +75,15 @@ def test_mesh_shapes():
         make_mesh(jax.devices()[:4], rows_shards=8, spp_shards=1)
     m = make_mesh(jax.devices()[:8], rows_shards=2)
     assert m.shape == {"rows": 2, "spp": 4}
+
+
+def test_sharded_pallas_backend_matches(devices8):
+    """The megakernel inside shard_map (interpret mode) must match the
+    single-device XLA renderer exactly."""
+    sd = scene()
+    single = Renderer(sd, 4, 4, seed=11, target_lanes=1 << 18, backend="xla")
+    expect = single.render_rows(0, 16)
+    mesh = make_mesh(devices8, rows_shards=2, spp_shards=4)
+    mr = MeshRenderer(sd, 4, 4, seed=11, mesh=mesh, backend="pallas", interpret=True)
+    got = mr.render_rows(0, 16)
+    np.testing.assert_allclose(got, expect, atol=1e-5)
