@@ -44,6 +44,11 @@ def make_mesh(
     devs = list(devices) if devices is not None else jax.devices()
     if spp_shards is None:
         spp_shards = len(devs) // rows_shards
+    if rows_shards < 1 or spp_shards < 1:
+        raise ValueError(
+            f"mesh axes must be >= 1, got rows={rows_shards} spp={spp_shards} "
+            f"over {len(devs)} devices"
+        )
     n = rows_shards * spp_shards
     if n > len(devs):
         raise ValueError(
