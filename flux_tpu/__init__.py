@@ -10,6 +10,38 @@ fabric. See SURVEY.md for the structural map of the reference.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _setup_compilation_cache():
+    """Point every process at one persistent XLA compilation cache.
+
+    The Pallas megakernel takes minutes to compile on a cold TPU toolchain;
+    a shared on-disk cache makes every process after the first start in
+    seconds. The cache *key* hashes parts of the config (e.g. the autotune
+    cache dir derived from the cache path), so the configuration must be
+    identical across processes — which is exactly why it lives here rather
+    than in each entry point. Opt out with FLUX_TPU_NO_CACHE=1.
+    """
+    if _os.environ.get("FLUX_TPU_NO_CACHE"):
+        return
+    cache_dir = _os.environ.get("FLUX_TPU_CACHE_DIR")
+    if not cache_dir:
+        repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        cache_dir = _os.path.join(repo, "artifacts", "xla_cache")
+    try:
+        _os.makedirs(cache_dir, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # caching is an optimization; never block import on it
+
+
+_setup_compilation_cache()
+
 from . import constants, samplers  # noqa: F401
 from .job import Job, JobConfiguration, JobID, WorkUnit  # noqa: F401
 from .render import Renderer  # noqa: F401
