@@ -1,7 +1,15 @@
 """flux_tpu.ops — wavefront compute kernels (intersection, BRDF, shading)."""
 
 from .brdf import sample_directions
-from .intersect import Hit, intersect
+from .intersect import Hit, intersect, intersect_bvh, intersect_scan
 from .shade import PathState, bounce
 
-__all__ = ["Hit", "intersect", "sample_directions", "PathState", "bounce"]
+__all__ = [
+    "Hit",
+    "intersect",
+    "intersect_bvh",
+    "intersect_scan",
+    "sample_directions",
+    "PathState",
+    "bounce",
+]

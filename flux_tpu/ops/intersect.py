@@ -34,7 +34,7 @@ from ..scene import SceneArrays
 from ..vec import Vec3
 from ..vec import where as vwhere
 
-__all__ = ["Hit", "intersect"]
+__all__ = ["Hit", "intersect", "intersect_bvh", "intersect_scan"]
 
 _T_MIN = np.float32(T_MIN)
 _INF = np.float32(np.inf)
@@ -159,3 +159,147 @@ def intersect(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
         albedo=best_alb,
         exponent=best_exp,
     )
+
+
+def intersect_bvh(scene: SceneArrays, bvh, o: Vec3, d: Vec3) -> Hit:
+    """Nearest hit using the sphere BVH (ops/bvh.py) + linear plane sweep.
+
+    Same Hit contract as :func:`intersect`; the per-shape unrolled sweep is
+    replaced by an O(log N) stackless traversal, with the winning sphere's
+    material/normal ingredients gathered once afterwards instead of being
+    carried through the loop. Planes are unbounded and rare, so they keep
+    the reference's linear scan (scene.rs:156-160).
+    """
+    from .bvh import sphere_hits_bvh
+
+    sph = sphere_hits_bvh(scene, bvh, o, d)
+    best_t = sph.t
+
+    pl_t, pl_j, pl_n = _plane_sweep(scene, o, d)
+    # Combine: ties keep the sphere, matching the sweep's shape ordering
+    # (spheres first) and the reference's `<=`-biased min (common.rs:16-24).
+    use_plane = pl_t < best_t
+    t = jnp.minimum(best_t, pl_t)
+    return _gather_hit(scene, o, d, t, sph.index, use_plane, pl_j, pl_n)
+
+
+def _gather_hit(scene: SceneArrays, o: Vec3, d: Vec3, best_t, sph_idx, use_plane, pl_j, pl_n) -> Hit:
+    """Assemble the Hit record from a winning (sphere index | plane) pair by
+    gathering the material table once — shared by the BVH and scan paths."""
+    ns = scene.num_spheres
+    mask = jnp.isfinite(best_t)
+    shape_idx = jnp.where(use_plane, np.int32(ns) + pl_j, sph_idx)
+
+    alb_tab = scene.mat_color * scene.mat_param[:, None]
+    kind = jnp.take(scene.mat_kind, shape_idx, axis=0)
+    exp = jnp.take(scene.mat_exp, shape_idx, axis=0)
+    alb = jnp.take(alb_tab, shape_idx, axis=0)
+    ctr = jnp.take(scene.sphere_center, sph_idx, axis=0)
+    inv_r = jnp.take(scene.sphere_invert / scene.sphere_radius, sph_idx, axis=0)
+
+    t_safe = jnp.where(mask, best_t, 0.0)
+    point = Vec3(o.x + t_safe * d.x, o.y + t_safe * d.y, o.z + t_safe * d.z)
+    n_sph = Vec3(
+        (point.x - ctr[..., 0]) * inv_r,
+        (point.y - ctr[..., 1]) * inv_r,
+        (point.z - ctr[..., 2]) * inv_r,
+    )
+    normal = vwhere(use_plane, pl_n, n_sph)
+    return Hit(
+        mask=mask,
+        t=best_t,
+        shape=shape_idx,
+        point=point,
+        normal=normal,
+        kind=kind,
+        albedo=Vec3(alb[..., 0], alb[..., 1], alb[..., 2]),
+        exponent=exp,
+    )
+
+
+def _plane_sweep(scene: SceneArrays, o: Vec3, d: Vec3):
+    """Linear plane sweep shared by the accelerated paths."""
+    batch = o.x.shape
+    zeros = jnp.zeros(batch, jnp.float32)
+    pl_t = jnp.full(batch, _INF, jnp.float32)
+    pl_j = jnp.zeros(batch, jnp.int32)
+    pl_n = Vec3(zeros, zeros, zeros)
+    for j in range(scene.num_planes):
+        px, py, pz = (scene.plane_point[j, k] for k in range(3))
+        nx, ny, nz = (scene.plane_normal[j, k] for k in range(3))
+        num = (px - o.x) * nx + (py - o.y) * ny + (pz - o.z) * nz
+        den = d.x * nx + d.y * ny + d.z * nz
+        t = num / den
+        cond = (t > _T_MIN) & (t < pl_t)
+        pl_t = jnp.where(cond, t, pl_t)
+        pl_j = jnp.where(cond, np.int32(j), pl_j)
+        pl_n = vwhere(cond, Vec3(nx, ny, nz), pl_n)
+    return pl_t, pl_j, pl_n
+
+
+# Spheres per scan step: unrolled inside the step, so compile time is
+# O(SCAN_BLOCK) regardless of scene size, while the scan carry round-trip
+# (just best_t/best_i) is amortized over the whole block.
+SCAN_BLOCK = 32
+
+
+def intersect_scan(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
+    """Nearest hit via a ``lax.scan`` over sphere blocks — the scaling form
+    of the unrolled sweep.
+
+    The unrolled sweep's XLA graph (and so its compile time) grows
+    superlinearly with sphere count — unusable past ~150 spheres. This
+    variant streams the sphere table through the same vectorized test in
+    blocks of ``SCAN_BLOCK`` under ``lax.scan``: compile time is constant
+    in scene size, the inner math is identical scalar-broadcast VPU work
+    (no per-lane gathers — the trap the BVH traversal falls into on TPU),
+    and the scan carry is only (best_t, best_index). Runtime stays O(N)
+    per bounce, but at full VPU rate; on v5e this beats the gather-bound
+    O(log N) BVH traversal for any N that fits a scene table in VMEM.
+    """
+    import jax
+
+    ns = scene.num_spheres
+    batch = o.x.shape
+
+    a = d.x * d.x + d.y * d.y + d.z * d.z
+    inv_a = 1.0 / a
+
+    n_blocks = -(-ns // SCAN_BLOCK)
+    pad = n_blocks * SCAN_BLOCK - ns
+    # Padding spheres sit at a huge distance with radius 1: |oc|² overflows
+    # the discriminant to -inf, so they can never win.
+    ctr_pad = jnp.concatenate(
+        [scene.sphere_center, jnp.full((pad, 3), 1e18, jnp.float32)]
+    ).reshape(n_blocks, SCAN_BLOCK, 3)
+    rad_pad = jnp.concatenate(
+        [scene.sphere_radius, jnp.ones((pad,), jnp.float32)]
+    ).reshape(n_blocks, SCAN_BLOCK)
+
+    def step(carry, blk):
+        best_t, best_i = carry
+        ctr, rad, base = blk
+        for k in range(SCAN_BLOCK):
+            cx, cy, cz = ctr[k, 0], ctr[k, 1], ctr[k, 2]
+            radius = rad[k]
+            ocx, ocy, ocz = o.x - cx, o.y - cy, o.z - cz
+            b_half = ocx * d.x + ocy * d.y + ocz * d.z
+            c = ocx * ocx + ocy * ocy + ocz * ocz - radius * radius
+            disc = b_half * b_half - a * c
+            e = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t_near = (-b_half - e) * inv_a
+            t = jnp.where(t_near > _T_MIN, t_near, (-b_half + e) * inv_a)
+            cond = (disc >= 0.0) & (t > _T_MIN) & (t < best_t)
+            best_t = jnp.where(cond, t, best_t)
+            best_i = jnp.where(cond, base + np.int32(k), best_i)
+        return (best_t, best_i), None
+
+    t0 = jnp.full(batch, _INF, jnp.float32)
+    i0 = jnp.zeros(batch, jnp.int32)
+    bases = (jnp.arange(n_blocks, dtype=jnp.int32) * np.int32(SCAN_BLOCK))
+    (best_t, best_i), _ = jax.lax.scan(step, (t0, i0), (ctr_pad, rad_pad, bases))
+
+    pl_t, pl_j, pl_n = _plane_sweep(scene, o, d)
+    use_plane = pl_t < best_t
+    t = jnp.minimum(best_t, pl_t)
+    return _gather_hit(scene, o, d, t, best_i, use_plane, pl_j, pl_n)

@@ -28,7 +28,7 @@ from ..scene import MaterialKind, SceneArrays
 from ..vec import Vec3, dot
 from ..vec import where as vwhere
 from .brdf import sample_directions
-from .intersect import intersect
+from .intersect import intersect, intersect_bvh, intersect_scan
 
 __all__ = ["PathState", "bounce"]
 
@@ -41,14 +41,24 @@ class PathState(NamedTuple):
     alive: jnp.ndarray  # (B,) bool
 
 
-def bounce(scene: SceneArrays, state: PathState, sx, sy) -> PathState:
+def bounce(
+    scene: SceneArrays, state: PathState, sx, sy, bvh=None, accel: str = "sweep"
+) -> PathState:
     """Advance every alive path by one bounce.
 
     ``sx``/``sy`` is the stratified unit-square sample for this bounce depth
-    (one fresh 2-D sample per lane per depth).
+    (one fresh 2-D sample per lane per depth). Intersection strategy:
+    ``bvh`` arrays (ops/bvh.py) take the O(log N) traversal; ``accel='scan'``
+    streams sphere blocks under ``lax.scan`` (constant compile time, the
+    large-scene default); otherwise the unrolled sweep.
     """
     o, d, tput, rad, alive = state
-    hit = intersect(scene, o, d)
+    if bvh is not None:
+        hit = intersect_bvh(scene, bvh, o, d)
+    elif accel == "scan":
+        hit = intersect_scan(scene, o, d)
+    else:
+        hit = intersect(scene, o, d)
 
     miss = alive & ~hit.mask
     is_emissive = hit.kind == MaterialKind.EMISSIVE

@@ -46,6 +46,13 @@ from .vec import Vec3
 
 __all__ = ["render_block", "finalize", "Renderer", "plan_chunks"]
 
+# Sphere count above which Renderer auto-selects the blocked scan over the
+# unrolled sweep (the sweep's XLA compile time explodes past ~150 spheres).
+SCAN_AUTO_THRESHOLD = 64
+
+# Row cap per BVH launch (see render_rows_sum).
+_BVH_MAX_ROWS_PER_LAUNCH = 200
+
 # Purpose salts separating the independent sample streams of a pixel.
 from .constants import SALT_AA, SALT_BOUNCE, SALT_LENS  # noqa: E402
 
@@ -65,6 +72,8 @@ def render_block_impl(
     max_depth: int,
     s_limit=None,
     pvary_axes=(),
+    bvh=None,
+    accel="sweep",
 ):
     """Radiance *sum* over sample indices [s0, s0+n_samples) for a row band.
 
@@ -72,8 +81,10 @@ def render_block_impl(
     traced scalars, so one compilation serves every block of a job.
     ``s_limit`` (traced, optional) masks off lanes with global sample index
     >= s_limit — used by the sharded renderer when root² doesn't divide the
-    device count evenly.  This is the un-jitted core so it can be invoked
-    inside ``shard_map``; use :func:`render_block` directly otherwise.
+    device count evenly.  ``bvh`` (optional ops/bvh.py arrays) switches
+    intersection to the O(log N) traversal for many-sphere scenes.  This is
+    the un-jitted core so it can be invoked inside ``shard_map``; use
+    :func:`render_block` directly otherwise.
     """
     s_idx = (jnp.uint32(s0) + jnp.arange(n_samples, dtype=jnp.uint32))[:, None, None]
     row = (jnp.int32(row0) + jnp.arange(n_rows, dtype=jnp.int32))[None, :, None]
@@ -126,7 +137,7 @@ def render_block_impl(
         # hemi_sets[set][depth-1][sample] analog (materials.rs:21-23).
         pat = hash_combine(pixel_base, SALT_BOUNCE, depth)
         bx, by = mj_point(s_idx, root, pat)
-        return bounce(scene, st, bx, by), None
+        return bounce(scene, st, bx, by, bvh=bvh, accel=accel), None
 
     depths = jnp.arange(1, max_depth + 1, dtype=jnp.uint32)
     # Full unroll: scan carries round-trip through HBM between iterations;
@@ -152,6 +163,7 @@ render_block = jax.jit(
         "root",
         "max_depth",
         "pvary_axes",
+        "accel",
     ),
 )
 
@@ -192,6 +204,7 @@ class Renderer:
         seed: int = 0,
         target_lanes: int = 32 << 20,
         backend: Optional[str] = None,
+        accel: Optional[str] = None,
     ):
         self.scene_data = scene_data
         self.scene = compile_scene(scene_data)
@@ -206,18 +219,54 @@ class Renderer:
         self.max_depth = int(max_depth)
         self.seed = int(seed) & 0xFFFFFFFF
         self.target_lanes = int(target_lanes)
+        # Intersection strategy. The unrolled sweep is fastest at demo scale
+        # but its compile time explodes past ~150 spheres; the blocked scan
+        # keeps the same gather-free VPU math at constant compile time and
+        # is the large-scene default. The BVH traversal (O(log N), but
+        # per-lane gathers — slow on TPU, see ops/bvh.py) is opt-in.
+        if accel is None:
+            accel = "scan" if self.scene.num_spheres > SCAN_AUTO_THRESHOLD else "sweep"
+        if accel not in ("sweep", "scan", "bvh"):
+            raise ValueError(f"unknown accel {accel!r}")
+        self.accel = accel
+        self.bvh = None
+        if accel == "bvh":
+            from .ops.bvh import build_bvh
+
+            self.bvh = build_bvh(
+                np.asarray(self.scene.sphere_center),
+                np.asarray(self.scene.sphere_radius),
+            )
         if backend is None:
             # The megakernel wins ~2-4x on TPU hardware; its interpret mode
             # on CPU would be pathologically slow, so default by platform.
-            backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+            # Scan/BVH intersection lives in the XLA path only.
+            on_tpu = jax.default_backend() not in ("cpu",)
+            backend = "pallas" if (on_tpu and self.accel == "sweep") else "xla"
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
+        if backend == "pallas" and self.accel != "sweep":
+            raise ValueError(
+                "the pallas megakernel only implements the unrolled sweep; "
+                "use backend='xla' for accel='scan'/'bvh'"
+            )
         self.backend = backend
 
     def _chunk_size(self, n_rows: int) -> int:
         spp = self.root * self.root
         per_sample_lanes = n_rows * self.width
-        return max(1, min(spp, self.target_lanes // max(per_sample_lanes, 1)))
+        budget = self.target_lanes
+        if self.bvh is not None:
+            # The traversal carries per-lane pointers plus gathered node
+            # rows through a while_loop, multiplying live HBM per lane —
+            # keep launches smaller so temps fit comfortably.
+            budget //= 8
+        elif self.accel == "scan":
+            # The sphere scan's carry keeps extra wavefront state live
+            # across every (bounce, block) step; measured HBM headroom on
+            # v5e needs ~4x smaller launches than the fully-fused sweep.
+            budget //= 4
+        return max(1, min(spp, budget // max(per_sample_lanes, 1)))
 
     def render_rows_sum(self, row0: int, n_rows: int):
         """Device-side radiance sum over all root² samples for a row band."""
@@ -240,6 +289,17 @@ class Renderer:
                 root=self.root,
                 max_depth=self.max_depth,
             )
+        if self.bvh is not None and n_rows > _BVH_MAX_ROWS_PER_LAUNCH:
+            # Whole-frame launches of the traversal program fault the TPU
+            # runtime at very large row counts (observed at 600 rows on
+            # v5e); stitch from row blocks that are known-good instead.
+            parts = []
+            r = 0
+            while r < n_rows:
+                n = min(_BVH_MAX_ROWS_PER_LAUNCH, n_rows - r)
+                parts.append(self.render_rows_sum(row0 + r, n))
+                r += n
+            return jnp.concatenate(parts, axis=0)
         acc = None
         chunk = self._chunk_size(n_rows)
         for s0, n in plan_chunks(spp, chunk):
@@ -255,6 +315,8 @@ class Renderer:
                 n_samples=n,
                 root=self.root,
                 max_depth=self.max_depth,
+                bvh=self.bvh,
+                accel=self.accel,
             )
             acc = part if acc is None else acc + part
         return acc
