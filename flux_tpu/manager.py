@@ -307,18 +307,17 @@ class ImageBuilder:
 
 
 class _CompletionTracker:
-    """Pass-through sink recording which work units produced rows — the
-    bookkeeping behind lost-unit retry."""
+    """Pass-through sink feeding the scheduler round's completion ledger —
+    the bookkeeping behind lost-unit retry. ``round`` is swapped by the
+    manager as dispatch rounds begin."""
 
     def __init__(self, sink):
         self._sink = sink
-        self._lock = threading.Lock()
-        self.completed = set()
+        self.round = None
 
     def put(self, ev) -> None:
-        if isinstance(ev, RowsReady):
-            with self._lock:
-                self.completed.add(ev.result.work_unit.row_start)
+        if isinstance(ev, RowsReady) and self.round is not None:
+            self.round.complete_row(ev.result.work_unit.row_start)
         self._sink.put(ev)
 
 
@@ -352,40 +351,27 @@ class RenderManager:
                 d_println(f"Render manager: job {job.id} failed: {e!r}")
             done.set()
 
-    def _dispatch_round(self, job: Job, units, cancel, sink) -> None:
-        """One pull-queue round over the currently-alive workers
-        (manager.rs:100-166): a bounded(1) shared queue, a producer that
-        stops early on cancellation and then delivers one sentinel per
-        worker, and a barrier over the workers' completions."""
+    def _dispatch_round(self, job: Job, units, cancel, tracker) -> "SchedulerRound":
+        """One pull-dispatch round over the currently-alive workers — the
+        reference's bounded(1) shared queue + cancellable producer + barrier
+        (manager.rs:100-166), run on the native scheduler core
+        (flux_tpu/sched.py → native/fluxnative.cpp) with a pure-Python
+        fallback. The round object is both the unit queue workers drain and
+        the wait group the manager blocks on."""
+        from .sched import SchedulerRound
+
         workers = [w for w in self._workers if w.alive]
         if not workers:
             raise RuntimeError("no alive workers")
-        unit_queue: "queue.Queue" = queue.Queue(maxsize=1)
-        n_workers = len(workers)
+        rnd = SchedulerRound(units, len(workers), cancel_event=cancel)
+        tracker.round = rnd
 
-        def produce():
-            d_println("Work queue producer starting")
-            for u in units:
-                if cancel.is_set():
-                    d_println("Work unit iterator cancelled")
-                    break
-                unit_queue.put(u)
-            for _ in range(n_workers):
-                unit_queue.put(None)
-
-        producer = threading.Thread(
-            target=produce, name=f"Work queue for {job.id}", daemon=True
-        )
-        producer.start()
-
-        wg = WaitGroup()
-        wg.add(n_workers)
         for w in workers:
-            w.send(job, unit_queue, sink, wg)
+            w.send(job, rnd, tracker, rnd)
 
         d_println("Render manager: waiting for job completion or cancellation")
-        wg.wait()
-        producer.join()
+        rnd.wait()
+        return rnd
 
     def _run_job(self, job: Job, cancel: threading.Event, sink) -> None:
         sink.put(
@@ -406,18 +392,18 @@ class RenderManager:
         )
 
         try:
-            self._dispatch_round(job, units, cancel, tracker)
+            rnd = self._dispatch_round(job, units, cancel, tracker)
 
             # Fault tolerance the reference lacks (it panics on a dead
             # worker, manager.rs:158-161): units lost to failed workers are
             # re-dispatched once to the survivors.
-            if not cancel.is_set():
-                missing = [u for u in units if u.row_start not in tracker.completed]
-                if missing:
-                    d_println(
-                        f"Render manager: retrying {len(missing)} lost work units"
-                    )
-                    self._dispatch_round(job, missing, cancel, tracker)
+            missing = rnd.missing()
+            rnd.close()
+            if missing and not cancel.is_set():
+                d_println(
+                    f"Render manager: retrying {len(missing)} lost work units"
+                )
+                self._dispatch_round(job, missing, cancel, tracker).close()
         finally:
             d_println("Render manager: all workers done")
             sink.put(

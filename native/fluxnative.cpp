@@ -1,17 +1,30 @@
 // fluxnative — native host-side runtime components for flux_tpu.
 //
 // The reference is 100% native (Rust); on TPU the compute path is compiled
-// by XLA, but host-side hot paths still deserve native code.  The first one
-// is the 16-bit ASCII PPM encoder (the reference writes it with buffered
-// Rust I/O, fluxcore/src/image.rs:43-61): an 800x600 frame is 1.44M
-// formatted integers, which costs ~1s in pure Python and ~10ms here.
+// by XLA, but the host-side runtime around it stays native here too:
+//
+// * the 16-bit ASCII PPM encoder (the reference writes it with buffered
+//   Rust I/O, fluxcore/src/image.rs:43-61): an 800x600 frame is 1.44M
+//   formatted integers, ~1s in pure Python, ~10ms here;
+// * the scheduler core (flux_sched_*): the C++ equivalent of the
+//   reference's crossbeam machinery — the bounded(1) pull queue that
+//   load-balances work units across workers (manager.rs:100,120-141), the
+//   CancellableIterator (manager.rs:365-393), the completion ledger behind
+//   lost-unit retry, and the WaitGroup barrier (manager.rs:101,166).
+//   Handout is a single atomic cursor: semantically identical to the
+//   reference's producer-feeding-a-bounded(1)-channel (workers pull the
+//   next undispatched unit exactly once), without the producer thread.
 //
 // Exposed as a plain C ABI consumed via ctypes (no pybind11 in this
 // environment).  Build: see native/Makefile (g++ -O3 -shared -fPIC).
 
+#include <chrono>
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <mutex>
+#include <vector>
 
 namespace {
 
@@ -73,6 +86,101 @@ void flux_quantize_u16(const float* src, uint16_t* dst, int64_t n) {
         uint32_t q = static_cast<uint32_t>(v);
         dst[i] = static_cast<uint16_t>(q > 65535u ? 65535u : q);
     }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Scheduler core
+
+namespace {
+
+struct Sched {
+    std::mutex mu;
+    std::condition_variable cv;  // signalled when workers_remaining hits 0
+    int32_t n_units;
+    int32_t next = 0;            // handout cursor
+    int32_t workers_remaining;
+    bool cancelled = false;
+    std::vector<uint8_t> completed;
+
+    Sched(int32_t n, int32_t workers)
+        : n_units(n), workers_remaining(workers), completed(n, 0) {}
+};
+
+}  // namespace
+
+extern "C" {
+
+// One dispatch round over n_units work units pulled by n_workers workers.
+void* flux_sched_create(int32_t n_units, int32_t n_workers) {
+    if (n_units < 0 || n_workers < 1) return nullptr;
+    return new Sched(n_units, n_workers);
+}
+
+void flux_sched_destroy(void* h) { delete static_cast<Sched*>(h); }
+
+// Pull the next undispatched unit; -1 when the round is exhausted or
+// cancelled.  Each index is handed out exactly once (the bounded(1)
+// pull-queue semantics of manager.rs:100 — workers that finish fast pull
+// more, which is the whole load balancer).
+int32_t flux_sched_pull(void* h) {
+    Sched* s = static_cast<Sched*>(h);
+    std::lock_guard<std::mutex> lock(s->mu);
+    if (s->cancelled || s->next >= s->n_units) return -1;
+    return s->next++;
+}
+
+// Record unit `i`'s result as delivered (the ledger behind lost-unit retry).
+void flux_sched_complete(void* h, int32_t i) {
+    Sched* s = static_cast<Sched*>(h);
+    std::lock_guard<std::mutex> lock(s->mu);
+    if (i >= 0 && i < s->n_units) s->completed[static_cast<size_t>(i)] = 1;
+}
+
+// Cancel the round: subsequent pulls drain to -1 (CancellableIterator,
+// manager.rs:365-393).
+void flux_sched_cancel(void* h) {
+    Sched* s = static_cast<Sched*>(h);
+    std::lock_guard<std::mutex> lock(s->mu);
+    s->cancelled = true;
+}
+
+int32_t flux_sched_cancelled(void* h) {
+    Sched* s = static_cast<Sched*>(h);
+    std::lock_guard<std::mutex> lock(s->mu);
+    return s->cancelled ? 1 : 0;
+}
+
+// WaitGroup::done (manager.rs:101): a worker finished its pulls.
+void flux_sched_worker_done(void* h) {
+    Sched* s = static_cast<Sched*>(h);
+    std::lock_guard<std::mutex> lock(s->mu);
+    if (--s->workers_remaining <= 0) s->cv.notify_all();
+}
+
+// WaitGroup::wait barrier; timeout_ms < 0 waits forever. 1 = released,
+// 0 = timed out.
+int32_t flux_sched_wait(void* h, int64_t timeout_ms) {
+    Sched* s = static_cast<Sched*>(h);
+    std::unique_lock<std::mutex> lock(s->mu);
+    auto ready = [s] { return s->workers_remaining <= 0; };
+    if (timeout_ms < 0) {
+        s->cv.wait(lock, ready);
+        return 1;
+    }
+    return s->cv.wait_for(lock, std::chrono::milliseconds(timeout_ms), ready) ? 1 : 0;
+}
+
+// Indices never completed (dispatched-but-lost or never dispatched); out
+// must hold n_units int32s. Returns the count.
+int32_t flux_sched_missing(void* h, int32_t* out) {
+    Sched* s = static_cast<Sched*>(h);
+    std::lock_guard<std::mutex> lock(s->mu);
+    int32_t n = 0;
+    for (int32_t i = 0; i < s->n_units; ++i)
+        if (!s->completed[static_cast<size_t>(i)]) out[n++] = i;
+    return n;
 }
 
 }  // extern "C"
