@@ -34,7 +34,7 @@ from ..scene import SceneArrays
 from ..vec import Vec3
 from ..vec import where as vwhere
 
-__all__ = ["Hit", "intersect", "intersect_bvh", "intersect_scan"]
+__all__ = ["Hit", "intersect", "intersect_bvh", "intersect_scan", "intersect_scan_carry"]
 
 _T_MIN = np.float32(T_MIN)
 _INF = np.float32(np.inf)
@@ -267,10 +267,12 @@ def intersect_scan(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
 
     n_blocks = -(-ns // SCAN_BLOCK)
     pad = n_blocks * SCAN_BLOCK - ns
-    # Padding spheres sit at a huge distance with radius 1: |oc|² overflows
-    # the discriminant to -inf, so they can never win.
+    # Padding spheres have NaN centers: every comparison involving them is
+    # false, so they can never win. (A huge finite center is NOT safe — the
+    # discriminant is a catastrophic cancellation of ~1e36 terms that can
+    # come out garbage-positive.)
     ctr_pad = jnp.concatenate(
-        [scene.sphere_center, jnp.full((pad, 3), 1e18, jnp.float32)]
+        [scene.sphere_center, jnp.full((pad, 3), np.nan, jnp.float32)]
     ).reshape(n_blocks, SCAN_BLOCK, 3)
     rad_pad = jnp.concatenate(
         [scene.sphere_radius, jnp.ones((pad,), jnp.float32)]
@@ -294,8 +296,12 @@ def intersect_scan(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
             best_i = jnp.where(cond, base + np.int32(k), best_i)
         return (best_t, best_i), None
 
-    t0 = jnp.full(batch, _INF, jnp.float32)
-    i0 = jnp.zeros(batch, jnp.int32)
+    # Initialize the carry from arithmetic on o.x so it inherits o's
+    # varying axes under shard_map (a fresh constant would be replicated
+    # and trip the scan carry type check).
+    zf = o.x * 0.0
+    t0 = zf + _INF
+    i0 = zf.astype(jnp.int32)
     bases = (jnp.arange(n_blocks, dtype=jnp.int32) * np.int32(SCAN_BLOCK))
     (best_t, best_i), _ = jax.lax.scan(step, (t0, i0), (ctr_pad, rad_pad, bases))
 
@@ -303,3 +309,138 @@ def intersect_scan(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
     use_plane = pl_t < best_t
     t = jnp.minimum(best_t, pl_t)
     return _gather_hit(scene, o, d, t, best_i, use_plane, pl_j, pl_n)
+
+
+def intersect_scan_carry(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
+    """Blocked-scan sweep that carries the winner's material record through
+    the loop instead of gathering at the end — the in-kernel (Pallas) form.
+
+    Inside the megakernel every carry lives in VMEM/registers, so carrying
+    eleven winner fields costs nothing and avoids the dynamic gather that
+    Mosaic lowers poorly; in the XLA path the opposite holds (scan carries
+    round-trip HBM each step), which is why :func:`intersect_scan` carries
+    only (t, index) there. Same math, same results, different memory system.
+    """
+    import jax
+
+    ns = scene.num_spheres
+    batch = o.x.shape
+    zeros = jnp.zeros(batch, jnp.float32)
+
+    a = d.x * d.x + d.y * d.y + d.z * d.z
+    inv_a = 1.0 / a
+
+    n_blocks = -(-ns // SCAN_BLOCK)
+    pad = n_blocks * SCAN_BLOCK - ns
+    ctr_pad = jnp.concatenate(
+        [scene.sphere_center, jnp.full((pad, 3), np.nan, jnp.float32)]
+    ).reshape(n_blocks, SCAN_BLOCK, 3)
+    rad_pad = jnp.concatenate(
+        [scene.sphere_radius, jnp.ones((pad,), jnp.float32)]
+    ).reshape(n_blocks, SCAN_BLOCK)
+    inv_r_pad = jnp.concatenate(
+        [scene.sphere_invert / scene.sphere_radius, jnp.ones((pad,), jnp.float32)]
+    ).reshape(n_blocks, SCAN_BLOCK)
+    zrow = jnp.zeros((pad,), jnp.float32)
+    kind_pad = jnp.concatenate(
+        [scene.mat_kind[:ns], jnp.zeros((pad,), jnp.int32)]
+    ).reshape(n_blocks, SCAN_BLOCK)
+    exp_pad = jnp.concatenate([scene.mat_exp[:ns], zrow]).reshape(n_blocks, SCAN_BLOCK)
+    alb_tab = scene.mat_color * scene.mat_param[:, None]
+    alb_pad = jnp.concatenate(
+        [alb_tab[:ns], jnp.zeros((pad, 3), jnp.float32)]
+    ).reshape(n_blocks, SCAN_BLOCK, 3)
+
+    def step(carry, blk):
+        ctr, rad, inv_r_b, kind, exp, alb, base = blk
+        return (
+            fold_sphere_block(o, d, a, inv_a, carry, ctr, rad, inv_r_b, kind, exp, alb, base),
+            None,
+        )
+
+    bases = jnp.arange(n_blocks, dtype=jnp.int32) * np.int32(SCAN_BLOCK)
+    xs = (ctr_pad, rad_pad, inv_r_pad, kind_pad, exp_pad, alb_pad, bases)
+    carry, _ = jax.lax.scan(step, scan_carry_init(o.x), xs)
+    return finish_scan_carry(scene, o, d, carry)
+
+
+def scan_carry_init(like):
+    """Initial (best_t, index, kind, exp, albedo, center, inv_r) carry.
+
+    Built by arithmetic on ``like`` (a lane-shaped f32 array, typically
+    ``o.x``) so every field inherits its varying axes under shard_map."""
+    zf = like * 0.0
+    zi = zf.astype(jnp.int32)
+    return (
+        zf + _INF,
+        zi,
+        zi,
+        zf,
+        Vec3(zf, zf, zf),
+        Vec3(zf, zf, zf),
+        zf,
+    )
+
+
+def fold_sphere_block(o, d, a, inv_a, carry, ctr, rad, inv_r_b, kind, exp, alb, base):
+    """Fold one SCAN_BLOCK of spheres into the winner carry. ``ctr``/``alb``
+    are (SCAN_BLOCK, 3); the rest (SCAN_BLOCK,). Shared by the XLA scan and
+    the in-kernel (Pallas) fori_loop, which feed it from array xs and ref
+    slices respectively."""
+    best_t, best_i, b_kind, b_exp, b_alb, b_ctr, b_inv_r = carry
+    for k in range(SCAN_BLOCK):
+        cx, cy, cz = ctr[k, 0], ctr[k, 1], ctr[k, 2]
+        radius = rad[k]
+        ocx, ocy, ocz = o.x - cx, o.y - cy, o.z - cz
+        b_half = ocx * d.x + ocy * d.y + ocz * d.z
+        c = ocx * ocx + ocy * ocy + ocz * ocz - radius * radius
+        disc = b_half * b_half - a * c
+        e = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t_near = (-b_half - e) * inv_a
+        t = jnp.where(t_near > _T_MIN, t_near, (-b_half + e) * inv_a)
+        cond = (disc >= 0.0) & (t > _T_MIN) & (t < best_t)
+        best_t = jnp.where(cond, t, best_t)
+        best_i = jnp.where(cond, base + np.int32(k), best_i)
+        b_kind = jnp.where(cond, kind[k], b_kind)
+        b_exp = jnp.where(cond, exp[k], b_exp)
+        b_alb = vwhere(cond, Vec3(alb[k, 0], alb[k, 1], alb[k, 2]), b_alb)
+        b_ctr = vwhere(cond, Vec3(cx, cy, cz), b_ctr)
+        b_inv_r = jnp.where(cond, inv_r_b[k], b_inv_r)
+    return (best_t, best_i, b_kind, b_exp, b_alb, b_ctr, b_inv_r)
+
+
+def finish_scan_carry(scene: SceneArrays, o: Vec3, d: Vec3, carry) -> Hit:
+    """Fold the (unrolled) planes into a sphere winner carry and build the
+    Hit. Plane material fields come from the table by *static* plane index,
+    masked in the same way the unrolled sweep does."""
+    ns = scene.num_spheres
+    best_t, best_i, b_kind, b_exp, b_alb, b_ctr, b_inv_r = carry
+    alb_tab = scene.mat_color * scene.mat_param[:, None]
+
+    pl_t, pl_j, pl_n = _plane_sweep(scene, o, d)
+    use_plane = pl_t < best_t
+    t = jnp.minimum(best_t, pl_t)
+    mask = jnp.isfinite(t)
+    shape_idx = jnp.where(use_plane, np.int32(ns) + pl_j, best_i)
+    for j in range(scene.num_planes):
+        sel = use_plane & (pl_j == np.int32(j))
+        i = ns + j
+        b_kind = jnp.where(sel, scene.mat_kind[i], b_kind)
+        b_exp = jnp.where(sel, scene.mat_exp[i], b_exp)
+        b_alb = vwhere(sel, Vec3(alb_tab[i, 0], alb_tab[i, 1], alb_tab[i, 2]), b_alb)
+        b_inv_r = jnp.where(sel, 0.0, b_inv_r)
+
+    t_safe = jnp.where(mask, t, 0.0)
+    point = Vec3(o.x + t_safe * d.x, o.y + t_safe * d.y, o.z + t_safe * d.z)
+    n_sph = (point - b_ctr) * b_inv_r
+    normal = vwhere(use_plane, pl_n, n_sph)
+    return Hit(
+        mask=mask,
+        t=t,
+        shape=shape_idx,
+        point=point,
+        normal=normal,
+        kind=b_kind,
+        albedo=b_alb,
+        exponent=b_exp,
+    )

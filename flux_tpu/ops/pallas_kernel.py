@@ -55,14 +55,14 @@ def _kernel(
     # VMEM blocks
     rowcol_ref,  # (2, LANES) int32 block: absolute row / col per pixel lane
     sphere_c_ref,  # (Ns, 3) f32
-    sphere_r_ref,  # (1, Ns) f32
-    sphere_i_ref,  # (1, Ns) f32
+    sphere_r_ref,  # (Ns, 1) f32
+    sphere_i_ref,  # (Ns, 1) f32
     plane_p_ref,  # (Np, 3) f32
     plane_n_ref,  # (Np, 3) f32
-    mat_kind_ref,  # (1, N) int32
+    mat_kind_ref,  # (N, 1) int32
     mat_color_ref,  # (N, 3) f32
-    mat_param_ref,  # (1, N) f32
-    mat_exp_ref,  # (1, N) f32
+    mat_param_ref,  # (N, 1) f32
+    mat_exp_ref,  # (N, 1) f32
     bg_ref,  # (1, 3) f32
     cam_vecs_ref,  # (4, 3) f32: eye, u, v, w
     out_ref,  # (8, LANES) f32 block; rows 0..2 = rgb sums
@@ -72,6 +72,7 @@ def _kernel(
     root: int,
     max_depth: int,
     s_blk: int,
+    accel: str,
 ):
     j = pl.program_id(1)
 
@@ -86,14 +87,14 @@ def _kernel(
     # Rebuild the pytree views the shared ops expect (loads are tiny).
     scene = SceneArrays(
         sphere_center=sphere_c_ref[...],
-        sphere_radius=sphere_r_ref[0, :],
-        sphere_invert=sphere_i_ref[0, :],
+        sphere_radius=sphere_r_ref[:, 0],
+        sphere_invert=sphere_i_ref[:, 0],
         plane_point=plane_p_ref[...],
         plane_normal=plane_n_ref[...],
-        mat_kind=mat_kind_ref[0, :],
+        mat_kind=mat_kind_ref[:, 0],
         mat_color=mat_color_ref[...],
-        mat_param=mat_param_ref[0, :],
-        mat_exp=mat_exp_ref[0, :],
+        mat_param=mat_param_ref[:, 0],
+        mat_exp=mat_exp_ref[:, 0],
         background=bg_ref[0, :],
     )
     cam = CameraArrays(
@@ -133,10 +134,53 @@ def _kernel(
         alive=s_idx < s_limit,
     )
 
+    intersect_fn = None
+    if accel == "scan":
+        # Blocked-scan intersection, in-kernel form: a fori_loop whose body
+        # slices each SCAN_BLOCK of spheres straight out of the VMEM refs
+        # (Mosaic's lax.scan can't carry extensive inputs, and dynamic
+        # slicing is a ref operation). The winner carry lives in
+        # VMEM/registers, so carrying the material record is free — the
+        # same fold the XLA path runs (ops/intersect.py fold_sphere_block).
+        from ..ops.intersect import (
+            SCAN_BLOCK,
+            finish_scan_carry,
+            fold_sphere_block,
+            scan_carry_init,
+        )
+
+        n_sph_pad = sphere_c_ref.shape[0]
+        assert n_sph_pad % SCAN_BLOCK == 0, "host prep pads to SCAN_BLOCK"
+
+        def intersect_fn(scene_v, o, d):
+            a = d.x * d.x + d.y * d.y + d.z * d.z
+            inv_a = 1.0 / a
+
+            def body(i, carry):
+                start = i * SCAN_BLOCK
+                ctr = sphere_c_ref[pl.ds(start, SCAN_BLOCK), :]
+                rad = sphere_r_ref[pl.ds(start, SCAN_BLOCK), 0]
+                inv_r_b = sphere_i_ref[pl.ds(start, SCAN_BLOCK), 0] / rad
+                kind = mat_kind_ref[pl.ds(start, SCAN_BLOCK), 0]
+                exp = mat_exp_ref[pl.ds(start, SCAN_BLOCK), 0]
+                alb = (
+                    mat_color_ref[pl.ds(start, SCAN_BLOCK), :]
+                    * mat_param_ref[pl.ds(start, SCAN_BLOCK), 0][:, None]
+                )
+                base = start.astype(jnp.int32)
+                return fold_sphere_block(
+                    o, d, a, inv_a, carry, ctr, rad, inv_r_b, kind, exp, alb, base
+                )
+
+            carry = jax.lax.fori_loop(
+                0, n_sph_pad // SCAN_BLOCK, body, scan_carry_init(o.x)
+            )
+            return finish_scan_carry(scene_v, o, d, carry)
+
     for depth in range(1, max_depth + 1):
         pat = hash_combine(pixel_base, SALT_BOUNCE, np.uint32(depth))
         bx, by = mj_point(s_idx, root, pat)
-        state = bounce(scene, state, bx, by)
+        state = bounce(scene, state, bx, by, intersect_fn=intersect_fn)
 
     rad = state.radiance
     out_ref[0, :] += jnp.sum(rad.x, axis=0)
@@ -156,6 +200,7 @@ def _kernel(
         "interpret",
         "s_blk",
         "vma",
+        "accel",
     ),
 )
 def render_block_pallas(
@@ -175,6 +220,7 @@ def render_block_pallas(
     interpret: bool = False,
     s_blk: int = S_BLK,
     vma=None,
+    accel: str = "sweep",
 ):
     """Drop-in replacement for render.render_block (same contract: radiance
     sums over sample indices [s0, s0+n_samples) for a row band).
@@ -206,21 +252,36 @@ def render_block_pallas(
     ).reshape(1, 4).astype(jnp.float32)
     cam_vecs = jnp.stack([cam.eye, cam.u, cam.v, cam.w]).astype(jnp.float32)
 
-    # Zero-count padding: the kernel's rebuilt SceneArrays derives shape
-    # counts from array shapes, so empty categories get one *unhittable*
-    # fake entry (a sphere at y=1e18 whose |oc|² overflows the discriminant
-    # to -inf; a plane with a zero normal whose t is ±inf) plus a zero
-    # material row.
-    if scene.num_spheres == 0:
-        sphere_center = jnp.array([[0.0, 1e18, 0.0]], jnp.float32)
-        sphere_radius = jnp.ones((1,), jnp.float32)
-        sphere_invert = jnp.ones((1,), jnp.float32)
-        sph_mats = 1
+    # Count padding: the kernel's rebuilt SceneArrays derives shape counts
+    # from array shapes, so padding entries are *unhittable* fakes (a sphere
+    # with NaN center, so every intersection comparison is false — a huge
+    # finite center is NOT safe, the discriminant is a catastrophic
+    # cancellation that can go garbage-positive; a plane with a zero normal
+    # whose t is ±inf) plus zero material rows. Empty
+    # categories get one fake; the scan path additionally pads spheres to a
+    # SCAN_BLOCK multiple so the in-kernel fori_loop has no ragged tail.
+    n_sph_real = scene.num_spheres
+    if accel == "scan":
+        from .intersect import SCAN_BLOCK
+
+        target_ns = max(SCAN_BLOCK, -(-n_sph_real // SCAN_BLOCK) * SCAN_BLOCK)
+    else:
+        target_ns = max(n_sph_real, 1)
+    sph_mats = target_ns - n_sph_real
+    if sph_mats:
+        sphere_center = jnp.concatenate(
+            [scene.sphere_center, jnp.full((sph_mats, 3), np.nan, jnp.float32)]
+        )
+        sphere_radius = jnp.concatenate(
+            [scene.sphere_radius, jnp.ones((sph_mats,), jnp.float32)]
+        )
+        sphere_invert = jnp.concatenate(
+            [scene.sphere_invert, jnp.ones((sph_mats,), jnp.float32)]
+        )
     else:
         sphere_center = scene.sphere_center
         sphere_radius = scene.sphere_radius
         sphere_invert = scene.sphere_invert
-        sph_mats = 0
     if scene.num_planes == 0:
         plane_point = jnp.zeros((1, 3), jnp.float32)
         plane_normal = jnp.zeros((1, 3), jnp.float32)
@@ -232,19 +293,16 @@ def render_block_pallas(
 
     ns = sphere_center.shape[0]
     npl_ = plane_point.shape[0]
-    n_sph_real = scene.num_spheres
 
     def pad_mats(a, fill_shape_tail=()):
-        """Insert fake material rows: one after the real sphere mats (if a
-        fake sphere was added), one at the end (if a fake plane was)."""
-        parts = []
-        zrow = jnp.zeros((1,) + fill_shape_tail, a.dtype)
-        parts.append(a[:n_sph_real])
+        """Insert zero material rows matching the fake shapes: ``sph_mats``
+        rows after the real sphere mats, one at the end for a fake plane."""
+        parts = [a[:n_sph_real]]
         if sph_mats:
-            parts.append(zrow)
+            parts.append(jnp.zeros((sph_mats,) + fill_shape_tail, a.dtype))
         parts.append(a[n_sph_real:])
         if pl_mats:
-            parts.append(zrow)
+            parts.append(jnp.zeros((1,) + fill_shape_tail, a.dtype))
         return jnp.concatenate(parts, axis=0)
 
     mat_kind = pad_mats(scene.mat_kind)
@@ -254,7 +312,7 @@ def render_block_pallas(
 
     kern = functools.partial(
         _kernel, img_w=img_w, img_h=img_h, root=root, max_depth=max_depth,
-        s_blk=s_blk,
+        s_blk=s_blk, accel=accel,
     )
 
     grid = (pix_tiles, s_tiles)
@@ -278,14 +336,14 @@ def render_block_pallas(
             smem((1, 4)),
             pl.BlockSpec((2, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             whole((ns, 3)),
-            whole((1, ns)),
-            whole((1, ns)),
+            whole((ns, 1)),
+            whole((ns, 1)),
             whole((npl_, 3)),
             whole((npl_, 3)),
-            whole((1, ns + npl_)),
+            whole((ns + npl_, 1)),
             whole((ns + npl_, 3)),
-            whole((1, ns + npl_)),
-            whole((1, ns + npl_)),
+            whole((ns + npl_, 1)),
+            whole((ns + npl_, 1)),
             whole((1, 3)),
             whole((4, 3)),
         ],
@@ -303,14 +361,14 @@ def render_block_pallas(
                 cam_scalars,
                 rowcol,
                 sphere_center,
-                sphere_radius.reshape(1, ns),
-                sphere_invert.reshape(1, ns),
+                sphere_radius.reshape(ns, 1),
+                sphere_invert.reshape(ns, 1),
                 plane_point,
                 plane_normal,
-                mat_kind.reshape(1, ns + npl_),
+                mat_kind.reshape(ns + npl_, 1),
                 mat_color,
-                mat_param.reshape(1, ns + npl_),
-                mat_exp.reshape(1, ns + npl_),
+                mat_param.reshape(ns + npl_, 1),
+                mat_exp.reshape(ns + npl_, 1),
                 scene.background.reshape(1, 3),
                 cam_vecs,
             ),

@@ -28,7 +28,7 @@ from ..scene import MaterialKind, SceneArrays
 from ..vec import Vec3, dot
 from ..vec import where as vwhere
 from .brdf import sample_directions
-from .intersect import intersect, intersect_bvh, intersect_scan
+from .intersect import intersect, intersect_bvh, intersect_scan, intersect_scan_carry
 
 __all__ = ["PathState", "bounce"]
 
@@ -42,21 +42,34 @@ class PathState(NamedTuple):
 
 
 def bounce(
-    scene: SceneArrays, state: PathState, sx, sy, bvh=None, accel: str = "sweep"
+    scene: SceneArrays,
+    state: PathState,
+    sx,
+    sy,
+    bvh=None,
+    accel: str = "sweep",
+    intersect_fn=None,
 ) -> PathState:
     """Advance every alive path by one bounce.
 
     ``sx``/``sy`` is the stratified unit-square sample for this bounce depth
     (one fresh 2-D sample per lane per depth). Intersection strategy:
-    ``bvh`` arrays (ops/bvh.py) take the O(log N) traversal; ``accel='scan'``
-    streams sphere blocks under ``lax.scan`` (constant compile time, the
-    large-scene default); otherwise the unrolled sweep.
+    ``intersect_fn(scene, o, d)`` overrides everything (the Pallas kernel
+    injects a ref-slicing closure here); ``bvh`` arrays (ops/bvh.py) take
+    the O(log N) traversal; ``accel='scan'`` streams sphere blocks under
+    ``lax.scan`` (constant compile time, the large-scene default);
+    ``'scan_carry'`` is its winner-carrying form; otherwise the unrolled
+    sweep.
     """
     o, d, tput, rad, alive = state
-    if bvh is not None:
+    if intersect_fn is not None:
+        hit = intersect_fn(scene, o, d)
+    elif bvh is not None:
         hit = intersect_bvh(scene, bvh, o, d)
     elif accel == "scan":
         hit = intersect_scan(scene, o, d)
+    elif accel == "scan_carry":
+        hit = intersect_scan_carry(scene, o, d)
     else:
         hit = intersect(scene, o, d)
 

@@ -47,6 +47,7 @@ def sharded_unit_fn(
     chunk: int,
     backend: str = "xla",
     interpret: bool = False,
+    accel: str = "sweep",
 ):
     """Build the jitted SPMD program that renders one work unit on ``mesh``.
 
@@ -88,6 +89,7 @@ def sharded_unit_fn(
                 max_depth=max_depth,
                 s_limit=s_limit,
                 interpret=interpret,
+                accel=accel,
             )
             return jax.lax.psum(acc, "spp")
 
@@ -107,6 +109,7 @@ def sharded_unit_fn(
                 max_depth=max_depth,
                 pvary_axes=("rows", "spp"),
                 s_limit=s_limit,
+                accel=accel,
             )
             return acc + part
 
@@ -154,6 +157,7 @@ class MeshRenderer:
         target_lanes: int = 32 << 20,
         backend: Optional[str] = None,
         interpret: bool = False,
+        accel: Optional[str] = None,
     ):
         self.scene_data = scene_data
         self.scene = compile_scene(scene_data)
@@ -169,6 +173,13 @@ class MeshRenderer:
         self.seed = int(seed) & 0xFFFFFFFF
         self.mesh = mesh if mesh is not None else make_mesh(rows_shards=rows_shards)
         self.target_lanes = int(target_lanes)
+        if accel is None:
+            from ..render import SCAN_AUTO_THRESHOLD
+
+            accel = "scan" if self.scene.num_spheres > SCAN_AUTO_THRESHOLD else "sweep"
+        if accel not in ("sweep", "scan"):
+            raise ValueError(f"MeshRenderer supports accel 'sweep'/'scan', got {accel!r}")
+        self.accel = accel
         if backend is None:
             backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
         self.backend = backend
@@ -193,6 +204,7 @@ class MeshRenderer:
                     chunk=chunk,
                     backend=self.backend,
                     interpret=self.interpret,
+                    accel=self.accel,
                 ),
                 n_local,
             )

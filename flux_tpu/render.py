@@ -240,15 +240,16 @@ class Renderer:
         if backend is None:
             # The megakernel wins ~2-4x on TPU hardware; its interpret mode
             # on CPU would be pathologically slow, so default by platform.
-            # Scan/BVH intersection lives in the XLA path only.
+            # It implements sweep and scan (as the VMEM carry-style scan);
+            # BVH traversal lives in the XLA path only.
             on_tpu = jax.default_backend() not in ("cpu",)
-            backend = "pallas" if (on_tpu and self.accel == "sweep") else "xla"
+            backend = "pallas" if (on_tpu and self.bvh is None) else "xla"
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
-        if backend == "pallas" and self.accel != "sweep":
+        if backend == "pallas" and self.bvh is not None:
             raise ValueError(
-                "the pallas megakernel only implements the unrolled sweep; "
-                "use backend='xla' for accel='scan'/'bvh'"
+                "the pallas megakernel does not implement BVH traversal; "
+                "use backend='xla' for accel='bvh'"
             )
         self.backend = backend
 
@@ -288,6 +289,7 @@ class Renderer:
                 n_samples=spp,
                 root=self.root,
                 max_depth=self.max_depth,
+                accel=self.accel,
             )
         if self.bvh is not None and n_rows > _BVH_MAX_ROWS_PER_LAUNCH:
             # Whole-frame launches of the traversal program fault the TPU

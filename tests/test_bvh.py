@@ -243,9 +243,86 @@ class TestRenderParity:
         r = Renderer(sd, sample_root=1, max_depth=2, seed=0)
         assert r.accel == "sweep"
 
-    def test_pallas_plus_accel_rejected(self):
+    def test_pallas_plus_bvh_rejected(self):
         sd = sphere_field(96, seed=4, width=32, height=24)
         with pytest.raises(ValueError):
-            Renderer(sd, sample_root=1, max_depth=2, seed=0, backend="pallas")
-        with pytest.raises(ValueError):
             Renderer(sd, sample_root=1, max_depth=2, seed=0, backend="pallas", accel="bvh")
+        # pallas + scan is supported (the in-kernel blocked scan).
+        r = Renderer(sd, sample_root=1, max_depth=2, seed=0, backend="pallas", accel="scan")
+        assert r.accel == "scan" and r.backend == "pallas"
+
+
+class TestKernelScan:
+    """In-kernel (Pallas) blocked-scan intersection, interpret mode.
+
+    Within one backend the scan and the unrolled sweep must agree
+    bit-for-bit (same ops, same order). Across backends (Mosaic interpret
+    vs XLA) a borderline comparison can flip under different fusion orders
+    and diverge a whole sample path, so the cross-check is statistical."""
+
+    # n=40 pads 41 -> 64 spheres, exercising the SCAN_BLOCK padding; its
+    # depth is kept at 2 because the *sweep* side's unrolled compile time
+    # scales with spheres x bounces.
+    @pytest.mark.parametrize("n,depth", [(24, 3), (40, 2)])
+    def test_kernel_scan_matches_kernel_sweep_exactly(self, n, depth):
+        from flux_tpu.camera import camera_arrays
+        from flux_tpu.ops.pallas_kernel import render_block_pallas
+
+        sd = sphere_field(n, 4, width=32, height=16)
+        sc = compile_scene(sd)
+        cam = camera_arrays(
+            sd.camera_settings, sd.camera_data, sd.output_settings.pixel_size
+        )
+        kw = dict(
+            img_w=32, img_h=16, n_rows=16, n_samples=4, root=2, max_depth=depth,
+            interpret=True,
+        )
+        a = render_block_pallas(
+            sc, cam, np.int32(0), np.uint32(0), np.uint32(0), accel="scan", **kw
+        )
+        b = render_block_pallas(
+            sc, cam, np.int32(0), np.uint32(0), np.uint32(0), accel="sweep", **kw
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_kernel_scan_matches_xla_statistically(self):
+        from flux_tpu.camera import camera_arrays
+        from flux_tpu.ops.pallas_kernel import render_block_pallas
+        from flux_tpu.render import render_block_impl
+
+        sd = sphere_field(70, 4, width=32, height=16)
+        sc = compile_scene(sd)
+        cam = camera_arrays(
+            sd.camera_settings, sd.camera_data, sd.output_settings.pixel_size
+        )
+        kw = dict(img_w=32, img_h=16, n_rows=16, n_samples=4, root=2, max_depth=3)
+        a = np.asarray(
+            render_block_pallas(
+                sc, cam, np.int32(0), np.uint32(0), np.uint32(0),
+                accel="scan", interpret=True, **kw,
+            )
+        )
+        b = np.asarray(
+            render_block_impl(
+                sc, cam, np.int32(0), np.uint32(0), np.uint32(0), accel="scan", **kw
+            )
+        )
+        frac_diff = (np.abs(a - b) > 1e-5).mean()
+        assert frac_diff < 0.01, f"{frac_diff:.4f} of values diverged"
+        assert np.abs(a - b).mean() < 1e-3
+
+
+class TestMeshScan:
+    def test_mesh_scan_matches_single_device(self, devices8):
+        from flux_tpu.parallel import MeshRenderer, make_mesh
+
+        sd = sphere_field(96, 4, width=64, height=48)
+        mr = MeshRenderer(
+            sd, sample_root=4, max_depth=3, seed=0,
+            mesh=make_mesh(devices8, rows_shards=2), target_lanes=1 << 16,
+        )
+        assert mr.accel == "scan"
+        out = mr.render_rows(0, 48)
+        r = Renderer(sd, sample_root=4, max_depth=3, seed=0, accel="scan")
+        single = r.render_rows(0, 48)
+        np.testing.assert_allclose(out, single, rtol=2e-5, atol=2e-5)
