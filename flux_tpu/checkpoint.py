@@ -84,9 +84,11 @@ class ProgressiveRenderer:
         seed: int = 0,
         target_lanes: int = 32 << 20,
         rows_per_band: Optional[int] = None,
+        accel: Optional[str] = None,
     ):
         self._r = Renderer(
-            scene_data, sample_root, max_depth, seed=seed, target_lanes=target_lanes
+            scene_data, sample_root, max_depth, seed=seed, target_lanes=target_lanes,
+            accel=accel,
         )
         self.width = self._r.width
         self.height = self._r.height

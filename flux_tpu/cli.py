@@ -68,6 +68,14 @@ def build_parser() -> argparse.ArgumentParser:
         default=1,
         help="tile-sharding factor of the local device mesh (rest goes to sample sharding)",
     )
+    p.add_argument(
+        "--accel",
+        choices=("sweep", "scan", "bvh"),
+        default=None,
+        help="intersection strategy (default: auto — unrolled sweep at demo "
+        "scale, blocked scan above 64 spheres; bvh is the experimental "
+        "O(log N) traversal, XLA path only)",
+    )
     p.add_argument("--output-dir", default=".", help="directory for output images")
     p.add_argument("--png", action="store_true", help="also write a PNG next to the PPM")
     p.add_argument("--verbose", action="store_true", help="enable debug tracing")
@@ -110,6 +118,7 @@ def run_progressive(args, scene) -> int:
         sample_root=args.root,
         max_depth=args.depth,
         seed=args.seed,
+        accel=args.accel,
     )
     if args.resume and args.checkpoint and os.path.exists(args.checkpoint):
         pr.resume(args.checkpoint)
@@ -156,6 +165,7 @@ def make_local_worker(args):
                 max_depth=job.config.max_trace_depth,
                 seed=job.config.seed,
                 mesh=mesh,
+                accel=args.accel,
             )
 
     else:
@@ -167,6 +177,7 @@ def make_local_worker(args):
                 sample_root=job.config.sample_root,
                 max_depth=job.config.max_trace_depth,
                 seed=job.config.seed,
+                accel=args.accel,
             )
 
     return LocalWorker(renderer_factory=factory)
