@@ -23,12 +23,12 @@ from typing import Callable, Optional
 
 import numpy as np
 
-from .render import Renderer, finalize, plan_chunks, render_block
+from .render import Renderer
 from .scene import SceneData
 
 __all__ = ["ProgressiveRenderer", "save_checkpoint", "load_checkpoint"]
 
-_FORMAT = 1
+_FORMAT = 2
 
 
 def _config_fingerprint(sd: SceneData, root: int, depth: int, seed: int) -> str:
@@ -41,12 +41,21 @@ def _config_fingerprint(sd: SceneData, root: int, depth: int, seed: int) -> str:
     return hashlib.sha256(blob).hexdigest()
 
 
-def save_checkpoint(path: str, acc: np.ndarray, samples_done: int, fingerprint: str) -> None:
+def save_checkpoint(
+    path: str,
+    acc: np.ndarray,
+    samples_done: int,
+    fingerprint: str,
+    lum_sq: Optional[np.ndarray] = None,
+) -> None:
     tmp = path + ".tmp"
+    if lum_sq is None:
+        lum_sq = np.zeros(acc.shape[:2], np.float32)
     np.savez_compressed(
         tmp if tmp.endswith(".npz") else tmp,
         format=np.int32(_FORMAT),
         acc=np.asarray(acc, np.float32),
+        lum_sq=np.asarray(lum_sq, np.float32),
         samples_done=np.int64(samples_done),
         fingerprint=np.frombuffer(fingerprint.encode(), np.uint8),
     )
@@ -57,12 +66,20 @@ def save_checkpoint(path: str, acc: np.ndarray, samples_done: int, fingerprint: 
 
 def load_checkpoint(path: str):
     with np.load(path) as z:
-        if int(z["format"]) != _FORMAT:
-            raise ValueError(f"unsupported checkpoint format {int(z['format'])}")
+        fmt = int(z["format"])
+        if fmt not in (1, 2):
+            raise ValueError(f"unsupported checkpoint format {fmt}")
+        acc = z["acc"].astype(np.float32)
+        lum_sq = (
+            z["lum_sq"].astype(np.float32)
+            if fmt >= 2
+            else np.zeros(acc.shape[:2], np.float32)
+        )
         return (
-            z["acc"].astype(np.float32),
+            acc,
             int(z["samples_done"]),
             z["fingerprint"].tobytes().decode(),
+            lum_sq,
         )
 
 
@@ -98,6 +115,8 @@ class ProgressiveRenderer:
         self.acc = np.zeros((self.height, self.width, 3), np.float32)
         self.samples_done = 0
         self._rows_per_band = rows_per_band or min(self.height, 128)
+        # Per-pixel sum of squared sample luminances (adaptive sampling).
+        self.lum_sq = np.zeros((self.height, self.width), np.float32)
 
     def render_pass(self, n_samples: int) -> int:
         """Accumulate the next ``n_samples`` sample indices across the whole
@@ -108,24 +127,35 @@ class ProgressiveRenderer:
         r = self._r
         for row0 in range(0, self.height, self._rows_per_band):
             n_rows = min(self._rows_per_band, self.height - row0)
-            chunk = max(1, r.target_lanes // (n_rows * self.width))
-            for s_off, s_n in plan_chunks(n, chunk):
-                part = render_block(
-                    r.scene,
-                    r.cam,
-                    np.int32(row0),
-                    np.uint32(self.samples_done + s_off),
-                    np.uint32(r.seed),
-                    img_w=self.width,
-                    img_h=self.height,
-                    n_rows=n_rows,
-                    n_samples=s_n,
-                    root=self.root,
-                    max_depth=r.max_depth,
+            part = np.asarray(
+                r.render_rows_sum_range(
+                    row0, n_rows, self.samples_done, n, with_stats=True
                 )
-                self.acc[row0 : row0 + n_rows] += np.asarray(part)
+            )
+            self.acc[row0 : row0 + n_rows] += part[..., :3]
+            self.lum_sq[row0 : row0 + n_rows] += part[..., 3]
         self.samples_done += n
         return n
+
+    def max_rel_stderr(self, percentile: float = 99.0) -> Optional[float]:
+        """Relative standard error of the per-pixel mean-luminance estimate
+        at the given percentile over pixels — the adaptive stop signal.
+
+        Computed from exact per-sample moments (Σlum, Σlum²) accumulated by
+        the render kernels, so it is valid for any pass sizes. The i.i.d.
+        variance slightly *over*estimates the error of stratified samples —
+        conservative in the right direction for a stopping rule. None until
+        at least 2 samples."""
+        k = self.samples_done
+        if k < 2:
+            return None
+        from .color import luminance
+
+        mean = luminance(self.acc) / k
+        var = np.maximum(self.lum_sq / k - mean * mean, 0.0) * (k / (k - 1))
+        stderr = np.sqrt(var / k)
+        rel = stderr / np.maximum(mean, 1e-3)
+        return float(np.percentile(rel, percentile))
 
     def peek(self) -> np.ndarray:
         """Current image: average of samples so far, tone-mapped."""
@@ -143,10 +173,12 @@ class ProgressiveRenderer:
         return self.samples_done >= self.spp
 
     def save(self, path: str) -> None:
-        save_checkpoint(path, self.acc, self.samples_done, self.fingerprint)
+        save_checkpoint(
+            path, self.acc, self.samples_done, self.fingerprint, self.lum_sq
+        )
 
     def resume(self, path: str) -> None:
-        acc, done, fp = load_checkpoint(path)
+        acc, done, fp, lum_sq = load_checkpoint(path)
         if fp != self.fingerprint:
             raise ValueError(
                 "checkpoint belongs to a different (scene, root, depth, seed) "
@@ -155,4 +187,5 @@ class ProgressiveRenderer:
         if acc.shape != self.acc.shape:
             raise ValueError(f"checkpoint shape {acc.shape} != {self.acc.shape}")
         self.acc = acc
+        self.lum_sq = lum_sq
         self.samples_done = done

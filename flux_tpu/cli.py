@@ -94,6 +94,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="with --progressive: save a resumable checkpoint after each pass",
     )
     p.add_argument(
+        "--adaptive",
+        type=float,
+        metavar="TOL",
+        default=0.0,
+        help="with --progressive: stop early once the p99 relative standard "
+        "error of the pixel means drops below TOL (e.g. 0.02), instead of "
+        "always spending the full root^2 samples",
+    )
+    p.add_argument(
         "--resume",
         action="store_true",
         help="with --checkpoint: resume from the checkpoint if it exists",
@@ -130,11 +139,19 @@ def run_progressive(args, scene) -> int:
         n = pr.render_pass(args.progressive)
         done = pr.samples_done
         rate = done * pr.width * pr.height / max(time.time() - t0, 1e-9) / 1e6
-        print(f"pass done: {done}/{pr.spp} spp ({rate:.1f} Msamples/s)")
+        err = pr.max_rel_stderr()
+        err_s = f", p99 rel stderr {err:.4f}" if err is not None else ""
+        print(f"pass done: {done}/{pr.spp} spp ({rate:.1f} Msamples/s{err_s})")
         if args.preview:
             write_png(preview_path, pr.peek())
         if args.checkpoint:
             pr.save(args.checkpoint)
+        if args.adaptive > 0 and err is not None and err < args.adaptive:
+            print(
+                f"adaptive stop: noise target {args.adaptive} reached at "
+                f"{done}/{pr.spp} spp"
+            )
+            break
     img = pr.peek()
     out = os.path.join(args.output_dir, f"{scene.scene_name}.ppm")
     write_ppm(out, img)

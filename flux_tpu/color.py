@@ -5,8 +5,19 @@ The reference's ``Color`` struct with overloaded operators becomes plain
 """
 
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["max_to_one"]
+__all__ = ["max_to_one", "luminance"]
+
+# Rec. 709 luma weights (noise estimation for adaptive sampling).
+_LUM_R, _LUM_G, _LUM_B = np.float32(0.2126), np.float32(0.7152), np.float32(0.0722)
+
+
+def luminance(rgb):
+    """Luma of a Vec3 (SoA) or an (..., 3) array."""
+    if hasattr(rgb, "x"):
+        return _LUM_R * rgb.x + _LUM_G * rgb.y + _LUM_B * rgb.z
+    return _LUM_R * rgb[..., 0] + _LUM_G * rgb[..., 1] + _LUM_B * rgb[..., 2]
 
 
 def max_to_one(img: jnp.ndarray) -> jnp.ndarray:

@@ -73,6 +73,7 @@ def _kernel(
     max_depth: int,
     s_blk: int,
     accel: str,
+    with_stats: bool,
 ):
     j = pl.program_id(1)
 
@@ -186,6 +187,13 @@ def _kernel(
     out_ref[0, :] += jnp.sum(rad.x, axis=0)
     out_ref[1, :] += jnp.sum(rad.y, axis=0)
     out_ref[2, :] += jnp.sum(rad.z, axis=0)
+    if with_stats:
+        # Row 3 of the (8, LANES) output block is free; accumulate the
+        # per-sample luminance second moment for adaptive sampling.
+        from ..color import luminance
+
+        lum = luminance(rad)
+        out_ref[3, :] += jnp.sum(lum * lum, axis=0)
 
 
 @functools.partial(
@@ -201,6 +209,7 @@ def _kernel(
         "s_blk",
         "vma",
         "accel",
+        "with_stats",
     ),
 )
 def render_block_pallas(
@@ -221,6 +230,7 @@ def render_block_pallas(
     s_blk: int = S_BLK,
     vma=None,
     accel: str = "sweep",
+    with_stats: bool = False,
 ):
     """Drop-in replacement for render.render_block (same contract: radiance
     sums over sample indices [s0, s0+n_samples) for a row band).
@@ -312,7 +322,7 @@ def render_block_pallas(
 
     kern = functools.partial(
         _kernel, img_w=img_w, img_h=img_h, root=root, max_depth=max_depth,
-        s_blk=s_blk, accel=accel,
+        s_blk=s_blk, accel=accel, with_stats=with_stats,
     )
 
     grid = (pix_tiles, s_tiles)
@@ -375,5 +385,6 @@ def render_block_pallas(
         )
     )
 
-    rgb = out[:3, :n_pix]  # (3, n_pix)
-    return jnp.transpose(rgb).reshape(n_rows, img_w, 3)
+    n_ch = 4 if with_stats else 3
+    ch = out[:n_ch, :n_pix]  # (n_ch, n_pix)
+    return jnp.transpose(ch).reshape(n_rows, img_w, n_ch)

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .camera import CameraArrays, camera_arrays, primary_rays
-from .color import max_to_one
+from .color import luminance, max_to_one
 from .ops.shade import PathState, bounce
 from .samplers.hash import hash_combine
 from .samplers.patterns import cmj_point, mj_point
@@ -74,6 +74,7 @@ def render_block_impl(
     pvary_axes=(),
     bvh=None,
     accel="sweep",
+    with_stats=False,
 ):
     """Radiance *sum* over sample indices [s0, s0+n_samples) for a row band.
 
@@ -147,10 +148,13 @@ def render_block_impl(
     # (scene.rs:164-165) — their radiance simply stays un-augmented.
     rad = state.radiance
     # Sum over the sample axis; stack to (..., 3) only at the output boundary.
-    return jnp.stack(
-        [jnp.sum(rad.x, axis=0), jnp.sum(rad.y, axis=0), jnp.sum(rad.z, axis=0)],
-        axis=-1,
-    )
+    channels = [jnp.sum(rad.x, axis=0), jnp.sum(rad.y, axis=0), jnp.sum(rad.z, axis=0)]
+    if with_stats:
+        # Per-sample luminance second moment — the adaptive-sampling noise
+        # signal (per-pixel sample variance = E[lum²] − E[lum]²).
+        lum = luminance(rad)
+        channels.append(jnp.sum(lum * lum, axis=0))
+    return jnp.stack(channels, axis=-1)
 
 
 render_block = jax.jit(
@@ -164,8 +168,11 @@ render_block = jax.jit(
         "max_depth",
         "pvary_axes",
         "accel",
+        "with_stats",
     ),
 )
+
+
 
 
 @partial(jax.jit, static_argnames=("root",))
@@ -271,7 +278,16 @@ class Renderer:
 
     def render_rows_sum(self, row0: int, n_rows: int):
         """Device-side radiance sum over all root² samples for a row band."""
-        spp = self.root * self.root
+        return self.render_rows_sum_range(row0, n_rows, 0, self.root * self.root)
+
+    def render_rows_sum_range(
+        self, row0: int, n_rows: int, s0: int, n_samples: int, with_stats: bool = False
+    ):
+        """Radiance sum over sample indices [s0, s0 + n_samples) for a row
+        band, on whichever backend/accel this renderer is configured with —
+        the primitive under both full renders and progressive passes.
+        ``with_stats`` appends a fourth channel: the per-pixel sum of squared
+        sample luminances (the adaptive-sampling noise signal)."""
         if self.backend == "pallas":
             # The megakernel never materializes per-lane state in HBM, so a
             # whole band at full sample depth is one launch.
@@ -281,15 +297,16 @@ class Renderer:
                 self.scene,
                 self.cam,
                 np.int32(row0),
-                np.uint32(0),
+                np.uint32(s0),
                 np.uint32(self.seed),
                 img_w=self.width,
                 img_h=self.height,
                 n_rows=n_rows,
-                n_samples=spp,
+                n_samples=n_samples,
                 root=self.root,
                 max_depth=self.max_depth,
                 accel=self.accel,
+                with_stats=with_stats,
             )
         if self.bvh is not None and n_rows > _BVH_MAX_ROWS_PER_LAUNCH:
             # Whole-frame launches of the traversal program fault the TPU
@@ -299,17 +316,19 @@ class Renderer:
             r = 0
             while r < n_rows:
                 n = min(_BVH_MAX_ROWS_PER_LAUNCH, n_rows - r)
-                parts.append(self.render_rows_sum(row0 + r, n))
+                parts.append(
+                    self.render_rows_sum_range(row0 + r, n, s0, n_samples, with_stats)
+                )
                 r += n
             return jnp.concatenate(parts, axis=0)
         acc = None
         chunk = self._chunk_size(n_rows)
-        for s0, n in plan_chunks(spp, chunk):
+        for off, n in plan_chunks(n_samples, chunk):
             part = render_block(
                 self.scene,
                 self.cam,
                 np.int32(row0),
-                np.uint32(s0),
+                np.uint32(s0 + off),
                 np.uint32(self.seed),
                 img_w=self.width,
                 img_h=self.height,
@@ -319,6 +338,7 @@ class Renderer:
                 max_depth=self.max_depth,
                 bvh=self.bvh,
                 accel=self.accel,
+                with_stats=with_stats,
             )
             acc = part if acc is None else acc + part
         return acc

@@ -78,9 +78,10 @@ def test_checkpoint_file_roundtrip(tmp_path):
     a.render_pass(2)
     p = str(tmp_path / "x.npz")
     a.save(p)
-    acc, done, fp = load_checkpoint(p)
+    acc, done, fp, lum_sq = load_checkpoint(p)
     assert done == 2 and fp == a.fingerprint
     np.testing.assert_array_equal(acc, a.acc)
+    np.testing.assert_array_equal(lum_sq, a.lum_sq)
 
 
 # ---------------------------------------------------------------------------
@@ -162,3 +163,92 @@ def test_dead_worker_does_not_hang_manager():
     handle = manager.schedule_job(sd, cfg, sink)
     assert handle.wait(timeout=60)
     manager.stop()
+
+
+class TestAdaptiveSampling:
+    """Adaptive-stop statistics on the progressive renderer (a capability
+    the reference lacks entirely; SURVEY.md §5 checkpoint/observability)."""
+
+    def _pr(self, sd, root=8, **kw):
+        return ProgressiveRenderer(
+            sd, sample_root=root, max_depth=3, seed=0, target_lanes=1 << 16, **kw
+        )
+
+    def test_stderr_none_until_two_samples(self):
+        pr = self._pr(scene())
+        assert pr.max_rel_stderr() is None
+        pr.render_pass(1)
+        assert pr.max_rel_stderr() is None
+        pr.render_pass(7)
+        assert pr.max_rel_stderr() is not None
+
+    def test_stderr_decreases_with_passes(self):
+        # A glossy/matte sphere field is noisy enough for a meaningful
+        # stderr trend (the env+floor scene is nearly noiseless). The
+        # pixel size is scaled up so a 24x16 frame keeps the 800x600
+        # field of view instead of staring at a constant speck of env.
+        from dataclasses import replace
+
+        from flux_tpu.genscene import sphere_field
+
+        sd = sphere_field(12, 3, width=24, height=16)
+        sd = replace(sd, output_settings=replace(sd.output_settings, pixel_size=33.0))
+        pr = self._pr(sd, root=8)
+        errs = []
+        for _ in range(8):
+            pr.render_pass(8)
+            e = pr.max_rel_stderr(percentile=100.0)  # the noisiest pixel
+            if e is not None:
+                errs.append(e)
+        # Monte-Carlo stderr shrinks ~1/sqrt(n).
+        assert errs[0] > 0
+        assert errs[-1] < 0.7 * errs[0]
+
+    def test_constant_scene_has_zero_noise(self):
+        from flux_tpu.scene import (
+            CameraData,
+            CameraSettings,
+            OutputSettings,
+            SceneData,
+            SphereData,
+        )
+
+        # Only an inverted emissive env sphere: every path terminates on it
+        # with the same radiance -> pass means identical -> stderr 0.
+        sd = SceneData(
+            scene_name="const",
+            output_settings=OutputSettings(image_width=16, image_height=12, pixel_size=1.0),
+            background=(0.0, 0.0, 0.0),
+            shapes=(
+                SphereData(
+                    center=(0.0, 0.0, 0.0),
+                    radius=1000.0,
+                    invert=True,
+                    material=MaterialData(kind=MaterialKind.EMISSIVE, color=(1.0, 1.0, 1.0), param=1.0),
+                ),
+            ),
+            camera_settings=CameraSettings(eye=(0, 1, 5), look_at=(0, 0, 0), up=(0, 1, 0)),
+            camera_data=CameraData(zoom_factor=1.0, view_plane_distance=300.0, focal_distance=5.0, lens_radius=0.0),
+        )
+        pr = self._pr(sd, root=4)
+        pr.render_pass(4)
+        pr.render_pass(4)
+        assert pr.max_rel_stderr() < 1e-3
+
+    def test_unequal_passes_keep_statistics(self):
+        # Moments are per-sample, so any pass sizes are fine.
+        pr = self._pr(scene())
+        pr.render_pass(8)
+        pr.render_pass(4)
+        assert pr.max_rel_stderr() is not None
+
+    def test_progressive_respects_accel(self):
+        # render_pass must route through the renderer's configured accel
+        # (regression: it used to call the sweep unconditionally).
+        pr_sweep = self._pr(scene(), root=4, accel="sweep")
+        pr_scan = self._pr(scene(), root=4, accel="scan")
+        pr_sweep.render_pass(16)
+        pr_scan.render_pass(16)
+        # Chunk sizing differs between accels, so summation order (and the
+        # last ulp) may differ; the samples themselves are identical.
+        np.testing.assert_allclose(pr_sweep.acc, pr_scan.acc, rtol=1e-5, atol=1e-5)
