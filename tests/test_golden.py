@@ -51,6 +51,26 @@ def test_golden(name):
     assert abs(float(img.mean()) - float(golden.mean())) < 1e-3
 
 
+def _render_field():
+    """Procedural 96-sphere scene through the blocked-scan path."""
+    from flux_tpu.genscene import sphere_field
+
+    sd = sphere_field(96, seed=7, width=80, height=60)
+    sd = replace(
+        sd,
+        output_settings=replace(sd.output_settings, pixel_size=10.0),
+    )
+    r = Renderer(sd, sample_root=4, max_depth=5, seed=42, target_lanes=1 << 20)
+    assert r.accel == "scan"
+    return r.render_image()
+
+
+def test_golden_sphere_field_scan():
+    img = _render_field()
+    golden = np.load(os.path.join(HERE, "golden_field96_80x60_r4_s42.npy"))
+    np.testing.assert_allclose(img, golden, atol=5e-3)
+
+
 if __name__ == "__main__":
     import jax
 
@@ -59,3 +79,4 @@ if __name__ == "__main__":
         img = _render(name)
         np.save(os.path.join(HERE, f"golden_{name}_80x60_r4_s42.npy"), img)
         print(f"regenerated golden_{name}: mean={img.mean():.6f}")
+    np.save(os.path.join(HERE, "golden_field96_80x60_r4_s42.npy"), _render_field())
