@@ -102,10 +102,11 @@ class ProgressiveRenderer:
         target_lanes: int = 32 << 20,
         rows_per_band: Optional[int] = None,
         accel: Optional[str] = None,
+        nee: bool = False,
     ):
         self._r = Renderer(
             scene_data, sample_root, max_depth, seed=seed, target_lanes=target_lanes,
-            accel=accel,
+            accel=accel, nee=nee,
         )
         self.width = self._r.width
         self.height = self._r.height

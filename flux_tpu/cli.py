@@ -76,6 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
         "scale, blocked scan above 64 spheres; bvh is the experimental "
         "O(log N) traversal, XLA path only)",
     )
+    p.add_argument(
+        "--nee",
+        action="store_true",
+        help="next-event estimation: sample area lights directly with shadow "
+        "rays at diffuse vertices (massively lower noise on small lights; "
+        "the reference finds lights only by random walk)",
+    )
     p.add_argument("--output-dir", default=".", help="directory for output images")
     p.add_argument("--png", action="store_true", help="also write a PNG next to the PPM")
     p.add_argument("--verbose", action="store_true", help="enable debug tracing")
@@ -128,6 +135,7 @@ def run_progressive(args, scene) -> int:
         max_depth=args.depth,
         seed=args.seed,
         accel=args.accel,
+        nee=args.nee,
     )
     if args.resume and args.checkpoint and os.path.exists(args.checkpoint):
         pr.resume(args.checkpoint)
@@ -195,6 +203,7 @@ def make_local_worker(args):
                 max_depth=job.config.max_trace_depth,
                 seed=job.config.seed,
                 accel=args.accel,
+                nee=args.nee,
             )
 
     return LocalWorker(renderer_factory=factory)

@@ -20,3 +20,5 @@ DEFAULT_PORT = 2000
 SALT_AA = 0x41415341
 SALT_LENS = 0x4C454E53
 SALT_BOUNCE = 0x424F554E
+SALT_NEE = 0x4E454531
+SALT_NEEPICK = 0x4E454532

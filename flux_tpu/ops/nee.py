@@ -1,0 +1,154 @@
+"""Next-event estimation: direct sampling of area lights with shadow rays.
+
+The reference finds its lights purely by random walk — no next-event
+estimation, no Russian roulette (SURVEY.md §2 #7: materials.rs has neither;
+paths just stumble into emissive spheres). That is why its README headline
+scene needs 16384 spp: the small emissive sphere (scenes/demo2.yml:40-47)
+is a tiny solid angle from most surfaces. NEE is the classic production
+answer, added here as an *opt-in* (``Renderer(nee=True)`` / ``--nee``): at
+every diffuse vertex, additionally sample one area light directly through a
+shadow ray, and suppress that light's emission on the next bounce so each
+transport path is counted exactly once.
+
+Estimator (one light ℓ picked uniformly from L lights, cone-sampled over
+the light's subtended solid angle Ω = 2π(1 − cosθ_max)):
+
+    L_direct = kd·cd · Ω/(2π) · V · L_e · L
+
+This matches the REFERENCE's matte transport rather than textbook
+Lambertian: the reference draws uniform-hemisphere bounce directions
+(e=0.0 hemisphere tables, fluxcore/src/sampling.rs:25-27) but weights with
+a cosine pdf (brdf.rs:27-29), so its estimator integrates incident light
+*without* cosine foreshortening. flux_tpu's BSDF walk reproduces that
+exactly (pinned by the demo-image parity runs), and NEE must estimate the
+same integral or the two estimators would converge to different images.
+
+Specular and glossy vertices keep pure BSDF sampling (a delta / narrow lobe
+makes light sampling useless), and the inverted environment sphere is
+excluded from the light set (BSDF sampling already finds it constantly —
+it subtends the entire sphere). Both estimators converge to the same image;
+tests/test_nee.py pins that and the variance reduction. One knowing
+approximation: a light cone straddling the horizon is accepted or rejected
+whole (by the cosθ > 0 test) instead of clipped.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import INV_PI, T_MIN
+from ..scene import MaterialKind, SceneArrays, SceneData, SphereData
+from ..vec import Vec3, cross, dot, normalize
+from ..vec import where as vwhere
+
+__all__ = ["LightArrays", "extract_lights", "sample_light_dirs", "light_emission"]
+
+_TWO_PI = np.float32(2.0 * np.pi)
+
+
+@dataclass(frozen=True)
+class LightArrays:
+    """Device-resident area-light set: the non-inverted emissive spheres."""
+
+    center: jnp.ndarray  # (L, 3) f32
+    radius: jnp.ndarray  # (L,)   f32
+    emit: jnp.ndarray  # (L, 3)  f32 color × power
+    shape_idx: jnp.ndarray  # (L,) i32 sphere index in the scene's shape order
+
+    @property
+    def num_lights(self) -> int:
+        return self.center.shape[0]
+
+
+jax.tree_util.register_dataclass(
+    LightArrays,
+    data_fields=[f.name for f in dataclasses.fields(LightArrays)],
+    meta_fields=[],
+)
+
+
+def extract_lights(sd: SceneData):
+    """Build the NEE light set from scene data, or None if there are no
+    non-inverted emissive spheres."""
+    centers, radii, emits, idxs = [], [], [], []
+    sphere_i = 0
+    for s in sd.shapes:
+        if not isinstance(s, SphereData):
+            continue
+        m = s.material
+        if m.kind == MaterialKind.EMISSIVE and not s.invert:
+            centers.append(s.center)
+            radii.append(s.radius)
+            emits.append(tuple(c * m.param for c in m.color))
+            idxs.append(sphere_i)
+        sphere_i += 1
+    if not centers:
+        return None
+    f32 = lambda a, shp: jnp.asarray(np.asarray(a, np.float32).reshape(shp))
+    n = len(centers)
+    return LightArrays(
+        center=f32(centers, (n, 3)),
+        radius=f32(radii, (n,)),
+        emit=f32(emits, (n, 3)),
+        shape_idx=jnp.asarray(np.asarray(idxs, np.int32)),
+    )
+
+
+def sample_light_dirs(lights: LightArrays, p: Vec3, ux, uy, upick):
+    """Cone-sample a direction from ``p`` toward a uniformly-picked light.
+
+    Returns (dir, weight, light_shape_idx, dist_to_center): ``weight`` is
+    L_e · L / pdf_cone, i.e. everything of the estimator except the
+    surface's f·cosθ and visibility; zero when ``p`` is inside the light.
+    """
+    nl = lights.num_lights
+    li = jnp.clip(
+        (jnp.asarray(upick) * np.float32(nl)).astype(jnp.int32), 0, nl - 1
+    )
+    ctr = jnp.take(lights.center, li, axis=0)
+    rad = jnp.take(lights.radius, li, axis=0)
+    emit = jnp.take(lights.emit, li, axis=0)
+    sidx = jnp.take(lights.shape_idx, li, axis=0)
+
+    dc = Vec3(ctr[..., 0] - p.x, ctr[..., 1] - p.y, ctr[..., 2] - p.z)
+    dist2 = dot(dc, dc)
+    dist = jnp.sqrt(dist2)
+    inside = dist2 <= rad * rad
+    sin2_max = jnp.clip(rad * rad / jnp.maximum(dist2, 1e-12), 0.0, 1.0)
+    cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
+
+    # Uniform direction in the cone around w = dc/dist.
+    w = dc * (1.0 / jnp.maximum(dist, 1e-12))
+    cos_a = 1.0 - jnp.asarray(ux) * (1.0 - cos_max)
+    sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+    phi = _TWO_PI * jnp.asarray(uy)
+    # Frame about w (same epsilon-vector trick as ops/brdf.py).
+    eps = Vec3(jnp.float32(0.0034), jnp.float32(1.0), jnp.float32(0.0071))
+    u = normalize(cross(eps, w))
+    v = cross(u, w)
+    cp, sp = jnp.cos(phi), jnp.sin(phi)
+    d = Vec3(
+        sin_a * (cp * u.x + sp * v.x) + cos_a * w.x,
+        sin_a * (cp * u.y + sp * v.y) + cos_a * w.y,
+        sin_a * (cp * u.z + sp * v.z) + cos_a * w.z,
+    )
+
+    # weight = L_e * num_lights / pdf_cone; pdf_cone = 1/(2π(1−cos_max)).
+    wgt = _TWO_PI * (1.0 - cos_max) * np.float32(nl)
+    wgt = jnp.where(inside, 0.0, wgt)
+    weight = Vec3(emit[..., 0] * wgt, emit[..., 1] * wgt, emit[..., 2] * wgt)
+    return d, weight, sidx, dist
+
+
+def light_emission(lights: LightArrays, shape_idx):
+    """(is_nee_light, ...) mask: is `shape_idx` one of the NEE light set?
+    Used to suppress double counting after a diffuse NEE vertex."""
+    m = jnp.zeros(shape_idx.shape, jnp.bool_)
+    for k in range(lights.num_lights):
+        m |= shape_idx == lights.shape_idx[k]
+    return m

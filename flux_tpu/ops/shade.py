@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..scene import MaterialKind, SceneArrays
 from ..vec import Vec3, dot
@@ -39,6 +40,10 @@ class PathState(NamedTuple):
     throughput: Vec3
     radiance: Vec3  # accumulated
     alive: jnp.ndarray  # (B,) bool
+    # True when the previous vertex was a diffuse NEE vertex: emission from
+    # the NEE light set is suppressed at the next hit so each transport path
+    # is counted exactly once (see ops/nee.py). Constant False without NEE.
+    suppress: jnp.ndarray = None  # (B,) bool | None
 
 
 def bounce(
@@ -49,6 +54,8 @@ def bounce(
     bvh=None,
     accel: str = "sweep",
     intersect_fn=None,
+    lights=None,
+    nee_samples=None,
 ) -> PathState:
     """Advance every alive path by one bounce.
 
@@ -59,19 +66,23 @@ def bounce(
     the O(log N) traversal; ``accel='scan'`` streams sphere blocks under
     ``lax.scan`` (constant compile time, the large-scene default);
     ``'scan_carry'`` is its winner-carrying form; otherwise the unrolled
-    sweep.
+    sweep. ``lights`` (ops/nee.py LightArrays) with ``nee_samples``
+    (ux, uy, upick) enables next-event estimation at diffuse vertices.
     """
-    o, d, tput, rad, alive = state
-    if intersect_fn is not None:
-        hit = intersect_fn(scene, o, d)
-    elif bvh is not None:
-        hit = intersect_bvh(scene, bvh, o, d)
-    elif accel == "scan":
-        hit = intersect_scan(scene, o, d)
-    elif accel == "scan_carry":
-        hit = intersect_scan_carry(scene, o, d)
-    else:
-        hit = intersect(scene, o, d)
+
+    def do_intersect(oo, dd):
+        if intersect_fn is not None:
+            return intersect_fn(scene, oo, dd)
+        if bvh is not None:
+            return intersect_bvh(scene, bvh, oo, dd)
+        if accel == "scan":
+            return intersect_scan(scene, oo, dd)
+        if accel == "scan_carry":
+            return intersect_scan_carry(scene, oo, dd)
+        return intersect(scene, oo, dd)
+
+    o, d, tput, rad, alive, suppress = state
+    hit = do_intersect(o, d)
 
     miss = alive & ~hit.mask
     is_emissive = hit.kind == MaterialKind.EMISSIVE
@@ -83,6 +94,12 @@ def bounce(
     # Emissive → emit only when facing: (-n)·d > 0 (materials.rs:44-49).
     facing = dot(hit.normal, d) < 0.0
     emit_mask = emit_hit & facing
+    if lights is not None:
+        # NEE double-count suppression: this light's direct contribution was
+        # already added at the previous (diffuse) vertex.
+        from .nee import light_emission
+
+        emit_mask &= ~(suppress & light_emission(lights, hit.shape))
 
     def add_masked(acc, mask_a, va, mask_b, vb):
         return Vec3(
@@ -93,10 +110,47 @@ def bounce(
 
     rad = add_masked(rad, miss, tput.hadamard(bg), emit_mask, tput.hadamard(hit.albedo))
 
+    diffuse = scatter & (hit.kind == MaterialKind.MATTE)
+    if lights is not None:
+        # Next-event estimation at diffuse vertices: cone-sample one light,
+        # trace a shadow ray, add the direct term (see ops/nee.py).
+        #
+        # The weight matches the REFERENCE's matte transport, not textbook
+        # Lambertian: the reference draws uniform-hemisphere directions
+        # (e=0.0 tables, sampling.rs:25-27) yet weights f·(n·wi)/pdf with
+        # pdf = cosθ/π (brdf.rs:27-29), which cancels to a constant — its
+        # matte estimator therefore integrates incident light WITHOUT
+        # cosine foreshortening: L_direct = kd·cd · Ω/(2π) · L_e for a
+        # light of solid angle Ω. Our BSDF walk reproduces that exactly
+        # (pinned by the demo parity renders), so NEE must estimate the
+        # same integral — hence weight/(2π), no cosθ, with the horizon
+        # test standing in for the hemisphere's support.
+        from .nee import sample_light_dirs
+
+        ux, uy, upick = nee_samples
+        ldir, lweight, lidx, _ = sample_light_dirs(lights, hit.point, ux, uy, upick)
+        cos_s = dot(hit.normal, ldir)
+        shadow = do_intersect(hit.point, ldir)
+        # Visible iff the nearest thing along the shadow ray IS the light.
+        lit = diffuse & (cos_s > 0.0) & shadow.mask & (shadow.shape == lidx)
+        contrib = tput.hadamard(hit.albedo).hadamard(lweight) * np.float32(
+            1.0 / (2.0 * np.pi)
+        )
+        rad = Vec3(
+            rad.x + jnp.where(lit, contrib.x, 0.0),
+            rad.y + jnp.where(lit, contrib.y, 0.0),
+            rad.z + jnp.where(lit, contrib.z, 0.0),
+        )
+        suppress = diffuse
+    elif suppress is not None:
+        suppress = jnp.zeros_like(suppress)
+
     # Scatter: new direction + analytic throughput update.
     wi = sample_directions(hit.kind, hit.exponent, hit.normal, d, sx, sy)
     tput = vwhere(scatter, tput.hadamard(hit.albedo), tput)
     o = vwhere(scatter, hit.point, o)
     d = vwhere(scatter, wi, d)
 
-    return PathState(o=o, d=d, throughput=tput, radiance=rad, alive=scatter)
+    return PathState(
+        o=o, d=d, throughput=tput, radiance=rad, alive=scatter, suppress=suppress
+    )

@@ -54,7 +54,7 @@ SCAN_AUTO_THRESHOLD = 64
 _BVH_MAX_ROWS_PER_LAUNCH = 200
 
 # Purpose salts separating the independent sample streams of a pixel.
-from .constants import SALT_AA, SALT_BOUNCE, SALT_LENS  # noqa: E402
+from .constants import SALT_AA, SALT_BOUNCE, SALT_LENS, SALT_NEE, SALT_NEEPICK  # noqa: E402
 
 
 def render_block_impl(
@@ -75,6 +75,7 @@ def render_block_impl(
     bvh=None,
     accel="sweep",
     with_stats=False,
+    lights=None,
 ):
     """Radiance *sum* over sample indices [s0, s0+n_samples) for a row band.
 
@@ -121,6 +122,7 @@ def render_block_impl(
         throughput=Vec3(ones, ones, ones),
         radiance=Vec3(zeros, zeros, zeros),
         alive=alive0,
+        suppress=None if lights is None else jnp.zeros(shape, jnp.bool_),
     )
     if pvary_axes:
         # Under shard_map the scan carry must be device-varying from the
@@ -138,7 +140,25 @@ def render_block_impl(
         # hemi_sets[set][depth-1][sample] analog (materials.rs:21-23).
         pat = hash_combine(pixel_base, SALT_BOUNCE, depth)
         bx, by = mj_point(s_idx, root, pat)
-        return bounce(scene, st, bx, by, bvh=bvh, accel=accel), None
+        nee_samples = None
+        if lights is not None:
+            from .samplers.hash import randfloat
+
+            npat = hash_combine(pixel_base, SALT_NEE, depth)
+            ux, uy = mj_point(s_idx, root, npat)
+            upick = randfloat(s_idx, hash_combine(pixel_base, SALT_NEEPICK, depth))
+            nee_samples = (
+                jnp.broadcast_to(ux, st.o.x.shape),
+                jnp.broadcast_to(uy, st.o.x.shape),
+                jnp.broadcast_to(upick, st.o.x.shape),
+            )
+        return (
+            bounce(
+                scene, st, bx, by, bvh=bvh, accel=accel,
+                lights=lights, nee_samples=nee_samples,
+            ),
+            None,
+        )
 
     depths = jnp.arange(1, max_depth + 1, dtype=jnp.uint32)
     # Full unroll: scan carries round-trip through HBM between iterations;
@@ -212,6 +232,7 @@ class Renderer:
         target_lanes: int = 32 << 20,
         backend: Optional[str] = None,
         accel: Optional[str] = None,
+        nee: bool = False,
     ):
         self.scene_data = scene_data
         self.scene = compile_scene(scene_data)
@@ -244,13 +265,21 @@ class Renderer:
                 np.asarray(self.scene.sphere_center),
                 np.asarray(self.scene.sphere_radius),
             )
+        # Next-event estimation (opt-in; ops/nee.py): direct light sampling
+        # at diffuse vertices. XLA path only.
+        self.lights = None
+        if nee:
+            from .ops.nee import extract_lights
+
+            self.lights = extract_lights(scene_data)
+        self.nee = self.lights is not None
         if backend is None:
             # The megakernel wins ~2-4x on TPU hardware; its interpret mode
             # on CPU would be pathologically slow, so default by platform.
             # It implements sweep and scan (as the VMEM carry-style scan);
-            # BVH traversal lives in the XLA path only.
+            # BVH traversal and NEE live in the XLA path only.
             on_tpu = jax.default_backend() not in ("cpu",)
-            backend = "pallas" if (on_tpu and self.bvh is None) else "xla"
+            backend = "pallas" if (on_tpu and self.bvh is None and not self.nee) else "xla"
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
         if backend == "pallas" and self.bvh is not None:
@@ -258,6 +287,8 @@ class Renderer:
                 "the pallas megakernel does not implement BVH traversal; "
                 "use backend='xla' for accel='bvh'"
             )
+        if backend == "pallas" and self.nee:
+            raise ValueError("NEE is implemented in the XLA path; use backend='xla'")
         self.backend = backend
 
     def _chunk_size(self, n_rows: int) -> int:
@@ -339,6 +370,7 @@ class Renderer:
                 bvh=self.bvh,
                 accel=self.accel,
                 with_stats=with_stats,
+                lights=self.lights,
             )
             acc = part if acc is None else acc + part
         return acc

@@ -1,0 +1,137 @@
+"""Next-event estimation: unbiasedness and variance reduction.
+
+NEE is an opt-in estimator change (the reference finds lights only by
+random walk, materials.rs:13-34); both estimators must converge to the
+same image, with NEE far less noisy on small area lights.
+"""
+
+import numpy as np
+import pytest
+
+from flux_tpu.checkpoint import ProgressiveRenderer
+from flux_tpu.ops.nee import extract_lights
+from flux_tpu.render import Renderer
+from flux_tpu.scene import (
+    CameraData,
+    CameraSettings,
+    MaterialData,
+    MaterialKind,
+    OutputSettings,
+    PlaneData,
+    SceneData,
+    SphereData,
+)
+
+
+def light_scene(w=32, h=24, light_radius=0.4, power=40.0):
+    """Matte floor + matte ball lit by one small emissive sphere, black
+    background — direct lighting dominates, the NEE showcase. The light is
+    in view so camera-visible emission is exercised too."""
+    shapes = (
+        SphereData(
+            center=(0.0, 3.0, 0.0),
+            radius=light_radius,
+            material=MaterialData(
+                kind=MaterialKind.EMISSIVE, color=(1.0, 0.95, 0.9), param=power
+            ),
+        ),
+        SphereData(
+            center=(0.8, 0.5, 0.0),
+            radius=0.5,
+            material=MaterialData(
+                kind=MaterialKind.MATTE, color=(0.7, 0.3, 0.3), param=1.0
+            ),
+        ),
+        PlaneData(
+            point=(0.0, 0.0, 0.0),
+            normal=(0.0, 1.0, 0.0),
+            material=MaterialData(
+                kind=MaterialKind.MATTE, color=(0.6, 0.6, 0.6), param=1.0
+            ),
+        ),
+    )
+    return SceneData(
+        scene_name="neetest",
+        output_settings=OutputSettings(image_width=w, image_height=h, pixel_size=16.0),
+        background=(0.0, 0.0, 0.0),
+        shapes=shapes,
+        camera_settings=CameraSettings(
+            eye=(0.0, 2.0, 7.0), look_at=(0.0, 1.0, 0.0), up=(0.0, 1.0, 0.0)
+        ),
+        camera_data=CameraData(
+            zoom_factor=1.0,
+            view_plane_distance=400.0,
+            focal_distance=7.0,
+            lens_radius=0.0,
+        ),
+    )
+
+
+def _mean_image(sd, root, nee, seed=0, depth=3):
+    r = Renderer(sd, sample_root=root, max_depth=depth, seed=seed, nee=nee,
+                 target_lanes=1 << 18)
+    return r.render_rows(0, sd.output_settings.image_height)
+
+
+class TestLightExtraction:
+    def test_extracts_only_noninverted_emissive_spheres(self):
+        sd = light_scene()
+        lights = extract_lights(sd)
+        assert lights is not None and lights.num_lights == 1
+        assert float(lights.radius[0]) == pytest.approx(0.4)
+        assert int(lights.shape_idx[0]) == 0
+
+    def test_env_sphere_excluded(self):
+        from flux_tpu.scene import loads_scene
+
+        with open("scenes/demo1.yml") as f:
+            sd = loads_scene(f.read())
+        lights = extract_lights(sd)
+        # demo1's only emissive sphere is the inverted env sphere.
+        assert lights is None
+
+    def test_demo2_has_one_area_light(self):
+        from flux_tpu.scene import load_scene
+
+        lights = extract_lights(load_scene("scenes/demo2.yml"))
+        assert lights is not None and lights.num_lights == 1
+
+    def test_no_lights_disables_nee(self):
+        from flux_tpu.scene import load_scene
+
+        r = Renderer(load_scene("scenes/demo1.yml"), 2, 2, nee=True)
+        assert not r.nee and r.lights is None
+
+
+class TestUnbiasedness:
+    def test_nee_converges_to_bsdf_image(self):
+        sd = light_scene()
+        # NEE at modest spp vs brute-force BSDF sampling at high spp.
+        nee_img = _mean_image(sd, root=8, nee=True)
+        ref_img = _mean_image(sd, root=64, nee=False)
+        # Direct-lit matte scene: NEE@64spp is near-converged; the 4096spp
+        # BSDF reference still carries MC noise, hence the tolerance.
+        assert np.abs(nee_img - ref_img).mean() < 0.015
+        assert np.abs(nee_img.mean() - ref_img.mean()) < 0.01
+
+    def test_camera_visible_light_not_suppressed(self):
+        sd = light_scene()
+        img = _mean_image(sd, root=4, nee=True)
+        # The light sits at image-space top center; its pixels must be
+        # saturated (direct camera hit, never NEE-suppressed).
+        h, w = img.shape[:2]
+        top = img[: h // 4].reshape(-1, 3).max(axis=0)
+        assert (top > 0.9).all()
+
+
+class TestVarianceReduction:
+    def test_nee_cuts_error_at_equal_spp(self):
+        # Small, harsh light: BSDF sampling rarely finds it; NEE always does.
+        sd = light_scene(light_radius=0.15, power=250.0)
+        truth = _mean_image(sd, root=32, nee=True)  # near-converged
+        mse = {}
+        for nee in (False, True):
+            img = _mean_image(sd, root=4, nee=nee, seed=9)  # 16 spp
+            mse[nee] = float(((img - truth) ** 2).mean())
+        # NEE at 16 spp should beat BSDF sampling by a wide margin.
+        assert mse[True] < 0.25 * mse[False], mse
