@@ -31,11 +31,20 @@ __all__ = ["ProgressiveRenderer", "save_checkpoint", "load_checkpoint"]
 _FORMAT = 2
 
 
-def _config_fingerprint(sd: SceneData, root: int, depth: int, seed: int) -> str:
-    """Hash of everything that determines the sample stream; a checkpoint
-    only resumes into an identical configuration."""
+def _config_fingerprint(
+    sd: SceneData, root: int, depth: int, seed: int, nee: bool = False
+) -> str:
+    """Hash of everything that determines the accumulated estimator; a
+    checkpoint only resumes into an identical configuration (mixing NEE and
+    BSDF-only sample sums would silently blend two estimators)."""
     blob = json.dumps(
-        {"scene": sd.to_dict(), "root": root, "depth": depth, "seed": seed},
+        {
+            "scene": sd.to_dict(),
+            "root": root,
+            "depth": depth,
+            "seed": seed,
+            "nee": bool(nee),
+        },
         sort_keys=True,
     ).encode()
     return hashlib.sha256(blob).hexdigest()
@@ -112,7 +121,9 @@ class ProgressiveRenderer:
         self.height = self._r.height
         self.root = self._r.root
         self.spp = self.root * self.root
-        self.fingerprint = _config_fingerprint(scene_data, self.root, max_depth, seed)
+        self.fingerprint = _config_fingerprint(
+            scene_data, self.root, max_depth, seed, nee=self._r.nee
+        )
         self.acc = np.zeros((self.height, self.width, 3), np.float32)
         self.samples_done = 0
         self._rows_per_band = rows_per_band or min(self.height, 128)

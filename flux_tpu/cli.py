@@ -191,6 +191,7 @@ def make_local_worker(args):
                 seed=job.config.seed,
                 mesh=mesh,
                 accel=args.accel,
+                nee=args.nee,
             )
 
     else:

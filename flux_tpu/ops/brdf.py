@@ -39,7 +39,7 @@ import numpy as np
 
 from ..samplers.warps import to_unit_hemi
 from ..scene import MaterialKind
-from ..vec import Vec3, cross, dot, normalize, reflect
+from ..vec import Vec3, cross, dot, frame_about, normalize, reflect
 from ..vec import where as vwhere
 
 __all__ = ["sample_directions"]
@@ -78,8 +78,7 @@ def sample_directions(kind, exponent, normal: Vec3, d: Vec3, sx, sy) -> Vec3:
         Vec3(jnp.float32(_EG[0]), jnp.float32(_EG[1]), jnp.float32(_EG[2])),
         Vec3(jnp.float32(_EM[0]), jnp.float32(_EM[1]), jnp.float32(_EM[2])),
     )
-    c = normalize(cross(eps, w))  # matte "v" / glossy "u"
-    c2 = cross(c, w)  # matte "u" = v×w ; glossy "v" = u×w
+    c, c2 = frame_about(w, eps)  # matte (v, u=v×w) / glossy (u, v=u×w)
     f1 = vwhere(is_glossy, c, c2)  # multiplies the x component
     f2 = vwhere(is_glossy, c2, c)  # multiplies the y component
 

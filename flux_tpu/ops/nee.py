@@ -41,10 +41,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import INV_PI, T_MIN
-from ..scene import MaterialKind, SceneArrays, SceneData, SphereData
-from ..vec import Vec3, cross, dot, normalize
-from ..vec import where as vwhere
+from ..scene import MaterialKind, SceneData, SphereData
+from ..vec import Vec3, dot, frame_about
 
 __all__ = ["LightArrays", "extract_lights", "sample_light_dirs", "light_emission"]
 
@@ -127,10 +125,9 @@ def sample_light_dirs(lights: LightArrays, p: Vec3, ux, uy, upick):
     cos_a = 1.0 - jnp.asarray(ux) * (1.0 - cos_max)
     sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
     phi = _TWO_PI * jnp.asarray(uy)
-    # Frame about w (same epsilon-vector trick as ops/brdf.py).
+    # Frame about w (the matte epsilon vector, ops/brdf.py _EM).
     eps = Vec3(jnp.float32(0.0034), jnp.float32(1.0), jnp.float32(0.0071))
-    u = normalize(cross(eps, w))
-    v = cross(u, w)
+    u, v = frame_about(w, eps)
     cp, sp = jnp.cos(phi), jnp.sin(phi)
     d = Vec3(
         sin_a * (cp * u.x + sp * v.x) + cos_a * w.x,

@@ -67,7 +67,11 @@ def bounce(
     ``lax.scan`` (constant compile time, the large-scene default);
     ``'scan_carry'`` is its winner-carrying form; otherwise the unrolled
     sweep. ``lights`` (ops/nee.py LightArrays) with ``nee_samples``
-    (ux, uy, upick) enables next-event estimation at diffuse vertices.
+    (ux, uy, upick, active) enables next-event estimation at diffuse
+    vertices; ``active`` (a traced bool) gates the direct-light add OFF at
+    the final depth so the NEE estimator truncates transport at exactly the
+    same path length as the BSDF walk (NEE at vertex k collects the
+    emission a BSDF path would collect at vertex k+1).
     """
 
     def do_intersect(oo, dd):
@@ -127,12 +131,13 @@ def bounce(
         # test standing in for the hemisphere's support.
         from .nee import sample_light_dirs
 
-        ux, uy, upick = nee_samples
+        ux, uy, upick, nee_active = nee_samples
         ldir, lweight, lidx, _ = sample_light_dirs(lights, hit.point, ux, uy, upick)
         cos_s = dot(hit.normal, ldir)
         shadow = do_intersect(hit.point, ldir)
         # Visible iff the nearest thing along the shadow ray IS the light.
         lit = diffuse & (cos_s > 0.0) & shadow.mask & (shadow.shape == lidx)
+        lit &= nee_active
         contrib = tput.hadamard(hit.albedo).hadamard(lweight) * np.float32(
             1.0 / (2.0 * np.pi)
         )

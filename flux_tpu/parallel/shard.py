@@ -48,6 +48,7 @@ def sharded_unit_fn(
     backend: str = "xla",
     interpret: bool = False,
     accel: str = "sweep",
+    lights=None,
 ):
     """Build the jitted SPMD program that renders one work unit on ``mesh``.
 
@@ -62,7 +63,7 @@ def sharded_unit_fn(
     chunk = max(1, min(chunk, per_dev))
     n_chunks = -(-per_dev // chunk)
 
-    def device_fn(scene, cam, row0, seed):
+    def device_fn(scene, cam, lights_v, row0, seed):
         ri = jax.lax.axis_index("rows")
         si = jax.lax.axis_index("spp")
         my_row0 = jnp.int32(row0) + ri.astype(jnp.int32) * np.int32(n_rows_local)
@@ -110,6 +111,7 @@ def sharded_unit_fn(
                 pvary_axes=("rows", "spp"),
                 s_limit=s_limit,
                 accel=accel,
+                lights=lights_v,
             )
             return acc + part
 
@@ -126,7 +128,7 @@ def sharded_unit_fn(
     fn = jax.shard_map(
         device_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P()),
         out_specs=P("rows", None, None),
         # The varying-axes checker cannot yet see through pallas_call's
         # kernel trace (refs vs replicated index constants), so it is
@@ -158,6 +160,7 @@ class MeshRenderer:
         backend: Optional[str] = None,
         interpret: bool = False,
         accel: Optional[str] = None,
+        nee: bool = False,
     ):
         self.scene_data = scene_data
         self.scene = compile_scene(scene_data)
@@ -180,8 +183,20 @@ class MeshRenderer:
         if accel not in ("sweep", "scan"):
             raise ValueError(f"MeshRenderer supports accel 'sweep'/'scan', got {accel!r}")
         self.accel = accel
+        self.lights = None
+        if nee:
+            from ..ops.nee import extract_lights
+
+            self.lights = extract_lights(scene_data)
+        self.nee = self.lights is not None
         if backend is None:
-            backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+            backend = (
+                "pallas"
+                if (jax.default_backend() not in ("cpu",) and not self.nee)
+                else "xla"
+            )
+        if backend == "pallas" and self.nee:
+            raise ValueError("NEE is implemented in the XLA path; use backend='xla'")
         self.backend = backend
         self.interpret = bool(interpret)
         self._fns = {}
@@ -205,6 +220,7 @@ class MeshRenderer:
                     backend=self.backend,
                     interpret=self.interpret,
                     accel=self.accel,
+                    lights=self.lights,
                 ),
                 n_local,
             )
@@ -212,7 +228,9 @@ class MeshRenderer:
 
     def render_rows_sum(self, row0: int, n_rows: int):
         fn, n_local = self._unit_fn(n_rows)
-        out = fn(self.scene, self.cam, np.int32(row0), np.uint32(self.seed))
+        out = fn(
+            self.scene, self.cam, self.lights, np.int32(row0), np.uint32(self.seed)
+        )
         return out[:n_rows]  # crop row padding from uneven 'rows' shards
 
     def render_rows(self, row0: int, n_rows: int) -> np.ndarray:

@@ -151,6 +151,9 @@ def render_block_impl(
                 jnp.broadcast_to(ux, st.o.x.shape),
                 jnp.broadcast_to(uy, st.o.x.shape),
                 jnp.broadcast_to(upick, st.o.x.shape),
+                # Final-depth gate: the BSDF walk collects this light at the
+                # NEXT vertex, which a depth-capped walk would never reach.
+                depth < jnp.uint32(max_depth),
             )
         return (
             bounce(

@@ -15,7 +15,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["Vec3", "dot", "cross", "normalize", "where", "reflect"]
+__all__ = ["Vec3", "dot", "cross", "normalize", "where", "reflect", "frame_about"]
 
 
 class Vec3(NamedTuple):
@@ -86,3 +86,12 @@ def reflect(d: Vec3, n: Vec3) -> Vec3:
     """Mirror d about n (brdf.rs:40-41): d - 2 (n·d) n."""
     k = 2.0 * dot(n, d)
     return Vec3(d.x - k * n.x, d.y - k * n.y, d.z - k * n.z)
+
+
+def frame_about(w: Vec3, eps: Vec3):
+    """Orthonormal tangent pair about axis ``w`` via the reference's
+    epsilon-vector construction (brdf.rs:23,57): c = normalize(eps × w),
+    c2 = c × w. Shared by the BRDF lobes (ops/brdf.py) and NEE cone
+    sampling (ops/nee.py)."""
+    c = normalize(cross(eps, w))
+    return c, cross(c, w)

@@ -135,3 +135,43 @@ class TestVarianceReduction:
             mse[nee] = float(((img - truth) ** 2).mean())
         # NEE at 16 spp should beat BSDF sampling by a wide margin.
         assert mse[True] < 0.25 * mse[False], mse
+
+
+class TestMeshAndCheckpoint:
+    def test_mesh_nee_matches_single_device(self):
+        import jax
+
+        from flux_tpu.parallel import MeshRenderer, make_mesh
+
+        sd = light_scene()
+        mr = MeshRenderer(
+            sd, sample_root=4, max_depth=3, seed=0, nee=True,
+            mesh=make_mesh(jax.devices()[:8], rows_shards=2),
+            target_lanes=1 << 16,
+        )
+        assert mr.nee and mr.backend == "xla"
+        out = mr.render_rows(0, sd.output_settings.image_height)
+        single = _mean_image(sd, root=4, nee=True)
+        np.testing.assert_allclose(out, single, rtol=2e-5, atol=2e-5)
+
+    def test_checkpoint_fingerprint_includes_nee(self, tmp_path):
+        sd = light_scene()
+        a = ProgressiveRenderer(sd, sample_root=2, max_depth=2, seed=1, nee=True,
+                                target_lanes=1 << 16)
+        a.render_pass(2)
+        p = str(tmp_path / "x.npz")
+        a.save(p)
+        b = ProgressiveRenderer(sd, sample_root=2, max_depth=2, seed=1, nee=False,
+                                target_lanes=1 << 16)
+        with pytest.raises(ValueError):
+            b.resume(p)
+
+
+class TestDepthTruncationParity:
+    def test_nee_respects_depth_cap(self):
+        # At depth=1 the BSDF walk collects only camera-visible emission;
+        # NEE must not smuggle in the depth-2 direct term.
+        sd = light_scene()
+        a = _mean_image(sd, root=8, nee=True, depth=1)
+        b = _mean_image(sd, root=8, nee=False, depth=1)
+        np.testing.assert_allclose(a, b, atol=1e-6)
