@@ -108,12 +108,27 @@ def sample_light_dirs(lights: LightArrays, p: Vec3, ux, uy, upick):
     li = jnp.clip(
         (jnp.asarray(upick) * np.float32(nl)).astype(jnp.int32), 0, nl - 1
     )
-    ctr = jnp.take(lights.center, li, axis=0)
-    rad = jnp.take(lights.radius, li, axis=0)
-    emit = jnp.take(lights.emit, li, axis=0)
-    sidx = jnp.take(lights.shape_idx, li, axis=0)
+    # Per-lane light record via a static select loop: light sets are tiny
+    # and this form lowers cleanly everywhere (Mosaic has no cheap gather),
+    # so the same code serves the XLA path and the megakernel.
+    shape = li.shape
+    cx = jnp.zeros(shape, jnp.float32)
+    cy, cz, rad = cx, cx, cx
+    er, eg, eb = cx, cx, cx
+    sidx = jnp.zeros(shape, jnp.int32)
+    for k in range(nl):
+        sel = li == k
+        cx = jnp.where(sel, lights.center[k, 0], cx)
+        cy = jnp.where(sel, lights.center[k, 1], cy)
+        cz = jnp.where(sel, lights.center[k, 2], cz)
+        rad = jnp.where(sel, lights.radius[k], rad)
+        er = jnp.where(sel, lights.emit[k, 0], er)
+        eg = jnp.where(sel, lights.emit[k, 1], eg)
+        eb = jnp.where(sel, lights.emit[k, 2], eb)
+        sidx = jnp.where(sel, lights.shape_idx[k], sidx)
+    emit = (er, eg, eb)
 
-    dc = Vec3(ctr[..., 0] - p.x, ctr[..., 1] - p.y, ctr[..., 2] - p.z)
+    dc = Vec3(cx - p.x, cy - p.y, cz - p.z)
     dist2 = dot(dc, dc)
     dist = jnp.sqrt(dist2)
     inside = dist2 <= rad * rad
@@ -138,7 +153,7 @@ def sample_light_dirs(lights: LightArrays, p: Vec3, ux, uy, upick):
     # weight = L_e * num_lights / pdf_cone; pdf_cone = 1/(2π(1−cos_max)).
     wgt = _TWO_PI * (1.0 - cos_max) * np.float32(nl)
     wgt = jnp.where(inside, 0.0, wgt)
-    weight = Vec3(emit[..., 0] * wgt, emit[..., 1] * wgt, emit[..., 2] * wgt)
+    weight = Vec3(emit[0] * wgt, emit[1] * wgt, emit[2] * wgt)
     return d, weight, sidx, dist
 
 

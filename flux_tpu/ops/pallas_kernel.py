@@ -34,8 +34,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..camera import CameraArrays, primary_rays
-from ..constants import SALT_AA, SALT_BOUNCE, SALT_LENS
-from ..samplers.hash import hash_combine
+from ..constants import SALT_AA, SALT_BOUNCE, SALT_LENS, SALT_NEE, SALT_NEEPICK
+from ..samplers.hash import hash_combine, randfloat
 from ..samplers.patterns import cmj_point, mj_point
 from ..samplers.warps import to_poisson_disc
 from ..scene import SceneArrays
@@ -65,6 +65,10 @@ def _kernel(
     mat_exp_ref,  # (N, 1) f32
     bg_ref,  # (1, 3) f32
     cam_vecs_ref,  # (4, 3) f32: eye, u, v, w
+    light_c_ref,  # (L, 3) f32 NEE light centers (dummy (1,3) when nee off)
+    light_r_ref,  # (L, 1) f32 radii
+    light_e_ref,  # (L, 3) f32 emission (color x power)
+    light_i_ref,  # (L, 1) i32 sphere shape index
     out_ref,  # (8, LANES) f32 block; rows 0..2 = rgb sums
     *,
     img_w: int,
@@ -74,6 +78,7 @@ def _kernel(
     s_blk: int,
     accel: str,
     with_stats: bool,
+    nee: bool,
 ):
     j = pl.program_id(1)
 
@@ -133,7 +138,19 @@ def _kernel(
         throughput=Vec3(ones, ones, ones),
         radiance=Vec3(zeros, zeros, zeros),
         alive=s_idx < s_limit,
+        suppress=jnp.zeros(shape, jnp.bool_) if nee else None,
     )
+
+    lights_v = None
+    if nee:
+        from .nee import LightArrays
+
+        lights_v = LightArrays(
+            center=light_c_ref[...],
+            radius=light_r_ref[:, 0],
+            emit=light_e_ref[...],
+            shape_idx=light_i_ref[:, 0],
+        )
 
     intersect_fn = None
     if accel == "scan":
@@ -181,7 +198,18 @@ def _kernel(
     for depth in range(1, max_depth + 1):
         pat = hash_combine(pixel_base, SALT_BOUNCE, np.uint32(depth))
         bx, by = mj_point(s_idx, root, pat)
-        state = bounce(scene, state, bx, by, intersect_fn=intersect_fn)
+        nee_samples = None
+        if nee:
+            npat = hash_combine(pixel_base, SALT_NEE, np.uint32(depth))
+            ux, uy = mj_point(s_idx, root, npat)
+            upick = randfloat(
+                s_idx, hash_combine(pixel_base, SALT_NEEPICK, np.uint32(depth))
+            )
+            nee_samples = (ux, uy, upick, depth < max_depth)
+        state = bounce(
+            scene, state, bx, by, intersect_fn=intersect_fn,
+            lights=lights_v, nee_samples=nee_samples,
+        )
 
     rad = state.radiance
     out_ref[0, :] += jnp.sum(rad.x, axis=0)
@@ -231,6 +259,7 @@ def render_block_pallas(
     vma=None,
     accel: str = "sweep",
     with_stats: bool = False,
+    lights=None,
 ):
     """Drop-in replacement for render.render_block (same contract: radiance
     sums over sample indices [s0, s0+n_samples) for a row band).
@@ -320,9 +349,22 @@ def render_block_pallas(
     mat_param = pad_mats(scene.mat_param)
     mat_exp = pad_mats(scene.mat_exp)
 
+    nee = lights is not None
+    if nee:
+        light_c = lights.center
+        light_r = lights.radius.reshape(-1, 1)
+        light_e = lights.emit
+        light_i = lights.shape_idx.reshape(-1, 1)
+    else:  # dummies keep the kernel ABI fixed
+        light_c = jnp.zeros((1, 3), jnp.float32)
+        light_r = jnp.ones((1, 1), jnp.float32)
+        light_e = jnp.zeros((1, 3), jnp.float32)
+        light_i = jnp.zeros((1, 1), jnp.int32)
+    n_lights = light_c.shape[0]
+
     kern = functools.partial(
         _kernel, img_w=img_w, img_h=img_h, root=root, max_depth=max_depth,
-        s_blk=s_blk, accel=accel, with_stats=with_stats,
+        s_blk=s_blk, accel=accel, with_stats=with_stats, nee=nee,
     )
 
     grid = (pix_tiles, s_tiles)
@@ -356,6 +398,10 @@ def render_block_pallas(
             whole((ns + npl_, 1)),
             whole((1, 3)),
             whole((4, 3)),
+            whole((n_lights, 3)),
+            whole((n_lights, 1)),
+            whole((n_lights, 3)),
+            whole((n_lights, 1)),
         ],
         out_specs=pl.BlockSpec((8, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
@@ -381,6 +427,10 @@ def render_block_pallas(
                 mat_exp.reshape(ns + npl_, 1),
                 scene.background.reshape(1, 3),
                 cam_vecs,
+                light_c,
+                light_r,
+                light_e,
+                light_i,
             ),
         )
     )

@@ -269,7 +269,7 @@ class Renderer:
                 np.asarray(self.scene.sphere_radius),
             )
         # Next-event estimation (opt-in; ops/nee.py): direct light sampling
-        # at diffuse vertices. XLA path only.
+        # at diffuse vertices.
         self.lights = None
         if nee:
             from .ops.nee import extract_lights
@@ -279,10 +279,10 @@ class Renderer:
         if backend is None:
             # The megakernel wins ~2-4x on TPU hardware; its interpret mode
             # on CPU would be pathologically slow, so default by platform.
-            # It implements sweep and scan (as the VMEM carry-style scan);
-            # BVH traversal and NEE live in the XLA path only.
+            # It implements sweep, scan (as the VMEM carry-style scan) and
+            # NEE; BVH traversal lives in the XLA path only.
             on_tpu = jax.default_backend() not in ("cpu",)
-            backend = "pallas" if (on_tpu and self.bvh is None and not self.nee) else "xla"
+            backend = "pallas" if (on_tpu and self.bvh is None) else "xla"
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
         if backend == "pallas" and self.bvh is not None:
@@ -290,8 +290,6 @@ class Renderer:
                 "the pallas megakernel does not implement BVH traversal; "
                 "use backend='xla' for accel='bvh'"
             )
-        if backend == "pallas" and self.nee:
-            raise ValueError("NEE is implemented in the XLA path; use backend='xla'")
         self.backend = backend
 
     def _chunk_size(self, n_rows: int) -> int:
@@ -341,6 +339,7 @@ class Renderer:
                 max_depth=self.max_depth,
                 accel=self.accel,
                 with_stats=with_stats,
+                lights=self.lights,
             )
         if self.bvh is not None and n_rows > _BVH_MAX_ROWS_PER_LAUNCH:
             # Whole-frame launches of the traversal program fault the TPU

@@ -175,3 +175,38 @@ class TestDepthTruncationParity:
         a = _mean_image(sd, root=8, nee=True, depth=1)
         b = _mean_image(sd, root=8, nee=False, depth=1)
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+class TestKernelNEE:
+    def test_megakernel_nee_matches_xla(self):
+        from flux_tpu.camera import camera_arrays
+        from flux_tpu.ops.pallas_kernel import render_block_pallas
+        from flux_tpu.render import render_block_impl
+        from flux_tpu.scene import compile_scene
+
+        sd = light_scene()
+        sc = compile_scene(sd)
+        cam = camera_arrays(
+            sd.camera_settings, sd.camera_data, sd.output_settings.pixel_size
+        )
+        lights = extract_lights(sd)
+        kw = dict(img_w=32, img_h=24, n_rows=24, n_samples=4, root=2, max_depth=3)
+        a = np.asarray(
+            render_block_pallas(
+                sc, cam, np.int32(0), np.uint32(0), np.uint32(0),
+                lights=lights, interpret=True, **kw,
+            )
+        )
+        b = np.asarray(
+            render_block_impl(
+                sc, cam, np.int32(0), np.uint32(0), np.uint32(0), lights=lights, **kw
+            )
+        )
+        assert (np.abs(a - b) > 1e-5).mean() < 0.01
+
+    def test_renderer_defaults_to_pallas_with_nee_on_tpu(self):
+        # On CPU the auto-backend is xla either way; just pin that pallas +
+        # nee is accepted (no ValueError) and routes lights.
+        sd = light_scene()
+        r = Renderer(sd, 2, 2, nee=True, backend="xla")
+        assert r.nee and r.lights is not None
