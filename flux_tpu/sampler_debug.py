@@ -69,6 +69,9 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     s = Sampler(seed=args.seed)
+    import os
+
+    os.makedirs(args.output_dir, exist_ok=True)
     plot(grid_regular(args.root), "r", args.output_dir)
     plot(s.grid_jittered(args.root), "j", args.output_dir)
     plot(s.grid_multi_jittered(args.root), "mj", args.output_dir)

@@ -210,3 +210,32 @@ class TestKernelNEE:
         sd = light_scene()
         r = Renderer(sd, 2, 2, nee=True, backend="xla")
         assert r.nee and r.lights is not None
+
+
+class TestMultiLight:
+    def test_many_lights_converge(self):
+        # Several area lights: the uniform light pick must stay unbiased.
+        from dataclasses import replace
+
+        sd = light_scene()
+        extra = tuple(
+            SphereData(
+                center=(x, 2.5, z),
+                radius=0.3,
+                material=MaterialData(
+                    kind=MaterialKind.EMISSIVE, color=c, param=25.0
+                ),
+            )
+            for (x, z, c) in [
+                (-2.0, 1.0, (1.0, 0.2, 0.2)),
+                (2.0, -1.0, (0.2, 1.0, 0.2)),
+                (0.0, -2.0, (0.2, 0.2, 1.0)),
+            ]
+        )
+        sd = replace(sd, shapes=sd.shapes + extra)
+        lights = extract_lights(sd)
+        assert lights.num_lights == 4
+        nee_img = _mean_image(sd, root=12, nee=True)
+        ref_img = _mean_image(sd, root=64, nee=False)
+        assert np.abs(nee_img - ref_img).mean() < 0.02
+        assert np.abs(nee_img.mean() - ref_img.mean()) < 0.012
