@@ -191,7 +191,7 @@ def make_local_worker(args):
                 seed=job.config.seed,
                 mesh=mesh,
                 accel=args.accel,
-                nee=args.nee,
+                nee=job.config.nee,
             )
 
     else:
@@ -204,7 +204,7 @@ def make_local_worker(args):
                 max_depth=job.config.max_trace_depth,
                 seed=job.config.seed,
                 accel=args.accel,
-                nee=args.nee,
+                nee=job.config.nee,
             )
 
     return LocalWorker(renderer_factory=factory)
@@ -313,6 +313,7 @@ def _run_job_path(args, scene) -> int:
         max_trace_depth=args.depth,
         rows_per_work_unit=args.rows,
         seed=args.seed,
+        nee=args.nee,
     )
 
     builder = ImageBuilder(output_dir=args.output_dir, write_png_too=args.png)

@@ -63,6 +63,10 @@ class JobConfiguration:
     max_trace_depth: int
     rows_per_work_unit: int
     seed: int = 0
+    # Estimator choice travels with the job: every worker (local or remote
+    # node) must render with the same estimator or work units would mix NEE
+    # and BSDF-only sums in one image.
+    nee: bool = False
 
     def to_dict(self) -> dict:
         return {
@@ -70,6 +74,7 @@ class JobConfiguration:
             "max_trace_depth": self.max_trace_depth,
             "rows_per_work_unit": self.rows_per_work_unit,
             "seed": self.seed,
+            "nee": self.nee,
         }
 
     @staticmethod
@@ -79,6 +84,7 @@ class JobConfiguration:
             max_trace_depth=int(d["max_trace_depth"]),
             rows_per_work_unit=int(d["rows_per_work_unit"]),
             seed=int(d.get("seed", 0)),
+            nee=bool(d.get("nee", False)),
         )
 
 

@@ -55,12 +55,14 @@ def default_renderer_factory(job: Job):
             sample_root=job.config.sample_root,
             max_depth=job.config.max_trace_depth,
             seed=job.config.seed,
+            nee=job.config.nee,
         )
     return Renderer(
         job.scene_data,
         sample_root=job.config.sample_root,
         max_depth=job.config.max_trace_depth,
         seed=job.config.seed,
+        nee=job.config.nee,
     )
 
 

@@ -239,3 +239,19 @@ class TestMultiLight:
         ref_img = _mean_image(sd, root=64, nee=False)
         assert np.abs(nee_img - ref_img).mean() < 0.02
         assert np.abs(nee_img.mean() - ref_img.mean()) < 0.012
+
+
+class TestWirePropagation:
+    def test_nee_travels_in_job_config(self):
+        from flux_tpu.job import Job, JobConfiguration, JobIDAllocator
+        from flux_tpu.workers import default_renderer_factory
+
+        cfg = JobConfiguration(
+            sample_root=2, max_trace_depth=2, rows_per_work_unit=8, seed=0, nee=True
+        )
+        # Round-trip through the wire dict (what a network node receives).
+        job = Job(id=JobIDAllocator().next_id(), scene_data=light_scene(), config=cfg)
+        job2 = Job.from_dict(job.to_dict())
+        assert job2.config.nee is True
+        r = default_renderer_factory(job2)
+        assert r.nee  # the node's renderer uses the job's estimator
