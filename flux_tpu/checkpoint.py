@@ -32,7 +32,12 @@ _FORMAT = 2
 
 
 def _config_fingerprint(
-    sd: SceneData, root: int, depth: int, seed: int, nee: bool = False
+    sd: SceneData,
+    root: int,
+    depth: int,
+    seed: int,
+    nee: bool = False,
+    physical: bool = False,
 ) -> str:
     """Hash of everything that determines the accumulated estimator; a
     checkpoint only resumes into an identical configuration (mixing NEE and
@@ -44,6 +49,7 @@ def _config_fingerprint(
             "depth": depth,
             "seed": seed,
             "nee": bool(nee),
+            "physical": bool(physical),
         },
         sort_keys=True,
     ).encode()
@@ -112,17 +118,19 @@ class ProgressiveRenderer:
         rows_per_band: Optional[int] = None,
         accel: Optional[str] = None,
         nee: bool = False,
+        physical: bool = False,
     ):
         self._r = Renderer(
             scene_data, sample_root, max_depth, seed=seed, target_lanes=target_lanes,
-            accel=accel, nee=nee,
+            accel=accel, nee=nee, physical=physical,
         )
         self.width = self._r.width
         self.height = self._r.height
         self.root = self._r.root
         self.spp = self.root * self.root
         self.fingerprint = _config_fingerprint(
-            scene_data, self.root, max_depth, seed, nee=self._r.nee
+            scene_data, self.root, max_depth, seed, nee=self._r.nee,
+            physical=self._r.physical,
         )
         self.acc = np.zeros((self.height, self.width, 3), np.float32)
         self.samples_done = 0

@@ -83,6 +83,14 @@ def build_parser() -> argparse.ArgumentParser:
         "rays at diffuse vertices (massively lower noise on small lights; "
         "the reference finds lights only by random walk)",
     )
+    p.add_argument(
+        "--physical",
+        action="store_true",
+        help="physically-correct Lambertian transport (cosine-weighted matte "
+        "sampling). The reference's matte estimator drops cosine "
+        "foreshortening (uniform-hemisphere samples weighted by a cosine "
+        "pdf); the default reproduces it for parity, this flag fixes it",
+    )
     p.add_argument("--output-dir", default=".", help="directory for output images")
     p.add_argument("--png", action="store_true", help="also write a PNG next to the PPM")
     p.add_argument("--verbose", action="store_true", help="enable debug tracing")
@@ -136,6 +144,7 @@ def run_progressive(args, scene) -> int:
         seed=args.seed,
         accel=args.accel,
         nee=args.nee,
+        physical=args.physical,
     )
     if args.resume and args.checkpoint and os.path.exists(args.checkpoint):
         pr.resume(args.checkpoint)
@@ -192,6 +201,7 @@ def make_local_worker(args):
                 mesh=mesh,
                 accel=args.accel,
                 nee=job.config.nee,
+                physical=job.config.physical,
             )
 
     else:
@@ -205,6 +215,7 @@ def make_local_worker(args):
                 seed=job.config.seed,
                 accel=args.accel,
                 nee=job.config.nee,
+                physical=job.config.physical,
             )
 
     return LocalWorker(renderer_factory=factory)
@@ -314,6 +325,7 @@ def _run_job_path(args, scene) -> int:
         rows_per_work_unit=args.rows,
         seed=args.seed,
         nee=args.nee,
+        physical=args.physical,
     )
 
     builder = ImageBuilder(output_dir=args.output_dir, write_png_too=args.png)

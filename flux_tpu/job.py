@@ -63,10 +63,11 @@ class JobConfiguration:
     max_trace_depth: int
     rows_per_work_unit: int
     seed: int = 0
-    # Estimator choice travels with the job: every worker (local or remote
-    # node) must render with the same estimator or work units would mix NEE
-    # and BSDF-only sums in one image.
+    # Estimator choices travel with the job: every worker (local or remote
+    # node) must render with the same estimator or work units would mix
+    # incompatible sample sums in one image.
     nee: bool = False
+    physical: bool = False
 
     def to_dict(self) -> dict:
         return {
@@ -75,6 +76,7 @@ class JobConfiguration:
             "rows_per_work_unit": self.rows_per_work_unit,
             "seed": self.seed,
             "nee": self.nee,
+            "physical": self.physical,
         }
 
     @staticmethod
@@ -85,6 +87,7 @@ class JobConfiguration:
             rows_per_work_unit=int(d["rows_per_work_unit"]),
             seed=int(d.get("seed", 0)),
             nee=bool(d.get("nee", False)),
+            physical=bool(d.get("physical", False)),
         )
 
 

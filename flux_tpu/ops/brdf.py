@@ -49,7 +49,9 @@ _EM = np.array([0.0034, 1.0, 0.0071], np.float32)
 _EG = np.array([0.00424, 1.0, 0.00764], np.float32)
 
 
-def sample_directions(kind, exponent, normal: Vec3, d: Vec3, sx, sy) -> Vec3:
+def sample_directions(
+    kind, exponent, normal: Vec3, d: Vec3, sx, sy, physical: bool = False
+) -> Vec3:
     """Sample the bounce direction for every lane of a wavefront.
 
     Args:
@@ -58,6 +60,11 @@ def sample_directions(kind, exponent, normal: Vec3, d: Vec3, sx, sy) -> Vec3:
       normal:   surface normals at the hits (Vec3 of (B,) arrays).
       d:        incoming ray directions (unit).
       sx, sy:   (B,) stratified unit-square sample for this bounce.
+      physical: matte lanes draw cosine-weighted directions (e=1) instead
+        of the reference's uniform hemisphere (e=0, sampling.rs:25-27).
+        With cosine sampling the analytic f·cos/pdf = kd·cd cancellation
+        is *correct* rather than reference-compatible, so the throughput
+        update needs no change — only the direction distribution moves.
 
     Returns unit outgoing directions ``wi``.
     """
@@ -65,8 +72,9 @@ def sample_directions(kind, exponent, normal: Vec3, d: Vec3, sx, sy) -> Vec3:
     is_glossy = kind == MaterialKind.GLOSSY
     is_perfect = kind == MaterialKind.REFLECTIVE
 
-    # Shared cos^e hemisphere warp; e=0 for matte lanes.
-    e = jnp.where(is_glossy, exponent, 0.0)
+    # Shared cos^e hemisphere warp; matte lanes use e=0 (reference
+    # transport) or e=1 (physical Lambertian).
+    e = jnp.where(is_glossy, exponent, 1.0 if physical else 0.0)
     hx, hy, hz = to_unit_hemi(sx, sy, e)
 
     # Per-lane frame. Matte: w=n, v=normalize(em×w), u=v×w, wi=x·u+y·v+z·w.

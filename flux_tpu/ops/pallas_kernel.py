@@ -79,6 +79,7 @@ def _kernel(
     accel: str,
     with_stats: bool,
     nee: bool,
+    physical: bool,
 ):
     j = pl.program_id(1)
 
@@ -208,7 +209,7 @@ def _kernel(
             nee_samples = (ux, uy, upick, depth < max_depth)
         state = bounce(
             scene, state, bx, by, intersect_fn=intersect_fn,
-            lights=lights_v, nee_samples=nee_samples,
+            lights=lights_v, nee_samples=nee_samples, physical=physical,
         )
 
     rad = state.radiance
@@ -238,6 +239,7 @@ def _kernel(
         "vma",
         "accel",
         "with_stats",
+        "physical",
     ),
 )
 def render_block_pallas(
@@ -260,6 +262,7 @@ def render_block_pallas(
     accel: str = "sweep",
     with_stats: bool = False,
     lights=None,
+    physical: bool = False,
 ):
     """Drop-in replacement for render.render_block (same contract: radiance
     sums over sample indices [s0, s0+n_samples) for a row band).
@@ -365,6 +368,7 @@ def render_block_pallas(
     kern = functools.partial(
         _kernel, img_w=img_w, img_h=img_h, root=root, max_depth=max_depth,
         s_blk=s_blk, accel=accel, with_stats=with_stats, nee=nee,
+        physical=physical,
     )
 
     grid = (pix_tiles, s_tiles)

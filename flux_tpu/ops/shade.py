@@ -56,6 +56,7 @@ def bounce(
     intersect_fn=None,
     lights=None,
     nee_samples=None,
+    physical: bool = False,
 ) -> PathState:
     """Advance every alive path by one bounce.
 
@@ -138,9 +139,12 @@ def bounce(
         # Visible iff the nearest thing along the shadow ray IS the light.
         lit = diffuse & (cos_s > 0.0) & shadow.mask & (shadow.shape == lidx)
         lit &= nee_active
-        contrib = tput.hadamard(hit.albedo).hadamard(lweight) * np.float32(
-            1.0 / (2.0 * np.pi)
-        )
+        if physical:
+            # True Lambertian: f·cosθ/pdf = (kd·cd/π)·cosθ·2π(1−cos_max).
+            fac = np.float32(1.0 / np.pi) * cos_s
+        else:
+            fac = np.float32(1.0 / (2.0 * np.pi))
+        contrib = tput.hadamard(hit.albedo).hadamard(lweight) * fac
         rad = Vec3(
             rad.x + jnp.where(lit, contrib.x, 0.0),
             rad.y + jnp.where(lit, contrib.y, 0.0),
@@ -151,7 +155,7 @@ def bounce(
         suppress = jnp.zeros_like(suppress)
 
     # Scatter: new direction + analytic throughput update.
-    wi = sample_directions(hit.kind, hit.exponent, hit.normal, d, sx, sy)
+    wi = sample_directions(hit.kind, hit.exponent, hit.normal, d, sx, sy, physical=physical)
     tput = vwhere(scatter, tput.hadamard(hit.albedo), tput)
     o = vwhere(scatter, hit.point, o)
     d = vwhere(scatter, wi, d)

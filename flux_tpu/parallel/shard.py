@@ -49,6 +49,7 @@ def sharded_unit_fn(
     interpret: bool = False,
     accel: str = "sweep",
     lights=None,
+    physical: bool = False,
 ):
     """Build the jitted SPMD program that renders one work unit on ``mesh``.
 
@@ -91,6 +92,7 @@ def sharded_unit_fn(
                 s_limit=s_limit,
                 interpret=interpret,
                 accel=accel,
+                physical=physical,
             )
             return jax.lax.psum(acc, "spp")
 
@@ -112,6 +114,7 @@ def sharded_unit_fn(
                 s_limit=s_limit,
                 accel=accel,
                 lights=lights_v,
+                physical=physical,
             )
             return acc + part
 
@@ -161,6 +164,7 @@ class MeshRenderer:
         interpret: bool = False,
         accel: Optional[str] = None,
         nee: bool = False,
+        physical: bool = False,
     ):
         self.scene_data = scene_data
         self.scene = compile_scene(scene_data)
@@ -189,6 +193,7 @@ class MeshRenderer:
 
             self.lights = extract_lights(scene_data)
         self.nee = self.lights is not None
+        self.physical = bool(physical)
         if backend is None:
             backend = (
                 "pallas"
@@ -221,6 +226,7 @@ class MeshRenderer:
                     interpret=self.interpret,
                     accel=self.accel,
                     lights=self.lights,
+                    physical=self.physical,
                 ),
                 n_local,
             )

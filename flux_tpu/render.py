@@ -76,6 +76,7 @@ def render_block_impl(
     accel="sweep",
     with_stats=False,
     lights=None,
+    physical=False,
 ):
     """Radiance *sum* over sample indices [s0, s0+n_samples) for a row band.
 
@@ -158,7 +159,7 @@ def render_block_impl(
         return (
             bounce(
                 scene, st, bx, by, bvh=bvh, accel=accel,
-                lights=lights, nee_samples=nee_samples,
+                lights=lights, nee_samples=nee_samples, physical=physical,
             ),
             None,
         )
@@ -192,6 +193,7 @@ render_block = jax.jit(
         "pvary_axes",
         "accel",
         "with_stats",
+        "physical",
     ),
 )
 
@@ -236,6 +238,7 @@ class Renderer:
         backend: Optional[str] = None,
         accel: Optional[str] = None,
         nee: bool = False,
+        physical: bool = False,
     ):
         self.scene_data = scene_data
         self.scene = compile_scene(scene_data)
@@ -276,6 +279,10 @@ class Renderer:
 
             self.lights = extract_lights(scene_data)
         self.nee = self.lights is not None
+        # Physical Lambertian transport (cosine-weighted matte sampling +
+        # cosine NEE weight) instead of the reference's cosine-free matte
+        # estimator; see ops/brdf.py and ops/nee.py.
+        self.physical = bool(physical)
         if backend is None:
             # The megakernel wins ~2-4x on TPU hardware; its interpret mode
             # on CPU would be pathologically slow, so default by platform.
@@ -340,6 +347,7 @@ class Renderer:
                 accel=self.accel,
                 with_stats=with_stats,
                 lights=self.lights,
+                physical=self.physical,
             )
         if self.bvh is not None and n_rows > _BVH_MAX_ROWS_PER_LAUNCH:
             # Whole-frame launches of the traversal program fault the TPU
@@ -373,6 +381,7 @@ class Renderer:
                 accel=self.accel,
                 with_stats=with_stats,
                 lights=self.lights,
+                physical=self.physical,
             )
             acc = part if acc is None else acc + part
         return acc

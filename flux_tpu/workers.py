@@ -56,6 +56,7 @@ def default_renderer_factory(job: Job):
             max_depth=job.config.max_trace_depth,
             seed=job.config.seed,
             nee=job.config.nee,
+            physical=job.config.physical,
         )
     return Renderer(
         job.scene_data,
@@ -63,6 +64,7 @@ def default_renderer_factory(job: Job):
         max_depth=job.config.max_trace_depth,
         seed=job.config.seed,
         nee=job.config.nee,
+        physical=job.config.physical,
     )
 
 
