@@ -90,3 +90,16 @@ def test_kernel_physical_matches_xla():
     b = np.asarray(render_block_impl(
         sc, cam, np.int32(0), np.uint32(0), np.uint32(0), **kw))
     assert (np.abs(a - b) > 1e-5).mean() < 0.01
+
+
+def test_mesh_physical_matches_single_device(devices8):
+    from flux_tpu.parallel import MeshRenderer, make_mesh
+
+    sd = light_scene()
+    mr = MeshRenderer(
+        sd, sample_root=4, max_depth=3, seed=0, nee=True, physical=True,
+        mesh=make_mesh(devices8, rows_shards=2), target_lanes=1 << 16,
+    )
+    out = mr.render_rows(0, sd.output_settings.image_height)
+    single = _img(sd, root=4, nee=True, physical=True)
+    np.testing.assert_allclose(out, single, rtol=2e-5, atol=2e-5)
