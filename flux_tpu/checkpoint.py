@@ -42,17 +42,14 @@ def _config_fingerprint(
     """Hash of everything that determines the accumulated estimator; a
     checkpoint only resumes into an identical configuration (mixing NEE and
     BSDF-only sample sums would silently blend two estimators)."""
-    blob = json.dumps(
-        {
-            "scene": sd.to_dict(),
-            "root": root,
-            "depth": depth,
-            "seed": seed,
-            "nee": bool(nee),
-            "physical": bool(physical),
-        },
-        sort_keys=True,
-    ).encode()
+    cfg = {"scene": sd.to_dict(), "root": root, "depth": depth, "seed": seed}
+    # Estimator flags enter the hash only when set, so checkpoints written
+    # before a flag existed (or with it off) keep their fingerprints.
+    if nee:
+        cfg["nee"] = True
+    if physical:
+        cfg["physical"] = True
+    blob = json.dumps(cfg, sort_keys=True).encode()
     return hashlib.sha256(blob).hexdigest()
 
 
@@ -201,8 +198,8 @@ class ProgressiveRenderer:
         acc, done, fp, lum_sq = load_checkpoint(path)
         if fp != self.fingerprint:
             raise ValueError(
-                "checkpoint belongs to a different (scene, root, depth, seed) "
-                "configuration — refusing to resume"
+                "checkpoint belongs to a different (scene, root, depth, seed, "
+                "nee, physical) configuration — refusing to resume"
             )
         if acc.shape != self.acc.shape:
             raise ValueError(f"checkpoint shape {acc.shape} != {self.acc.shape}")

@@ -48,7 +48,6 @@ def sharded_unit_fn(
     backend: str = "xla",
     interpret: bool = False,
     accel: str = "sweep",
-    lights=None,
     physical: bool = False,
 ):
     """Build the jitted SPMD program that renders one work unit on ``mesh``.
@@ -92,6 +91,7 @@ def sharded_unit_fn(
                 s_limit=s_limit,
                 interpret=interpret,
                 accel=accel,
+                lights=lights_v,
                 physical=physical,
             )
             return jax.lax.psum(acc, "spp")
@@ -195,13 +195,7 @@ class MeshRenderer:
         self.nee = self.lights is not None
         self.physical = bool(physical)
         if backend is None:
-            backend = (
-                "pallas"
-                if (jax.default_backend() not in ("cpu",) and not self.nee)
-                else "xla"
-            )
-        if backend == "pallas" and self.nee:
-            raise ValueError("NEE is implemented in the XLA path; use backend='xla'")
+            backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
         self.backend = backend
         self.interpret = bool(interpret)
         self._fns = {}
@@ -225,7 +219,6 @@ class MeshRenderer:
                     backend=self.backend,
                     interpret=self.interpret,
                     accel=self.accel,
-                    lights=self.lights,
                     physical=self.physical,
                 ),
                 n_local,

@@ -204,12 +204,17 @@ class TestKernelNEE:
         )
         assert (np.abs(a - b) > 1e-5).mean() < 0.01
 
-    def test_renderer_defaults_to_pallas_with_nee_on_tpu(self):
-        # On CPU the auto-backend is xla either way; just pin that pallas +
-        # nee is accepted (no ValueError) and routes lights.
+    def test_pallas_backend_accepts_nee(self):
+        # Construction must not reject pallas+nee (the megakernel implements
+        # NEE); rendering on CPU would be interpret-slow, so only construct.
         sd = light_scene()
-        r = Renderer(sd, 2, 2, nee=True, backend="xla")
-        assert r.nee and r.lights is not None
+        r = Renderer(sd, 2, 2, nee=True, backend="pallas")
+        assert r.nee and r.lights is not None and r.backend == "pallas"
+
+        from flux_tpu.parallel import MeshRenderer
+
+        mr = MeshRenderer(sd, 2, 2, nee=True, backend="pallas", rows_shards=1)
+        assert mr.nee and mr.backend == "pallas"
 
 
 class TestMultiLight:
