@@ -30,6 +30,13 @@ it subtends the entire sphere). Both estimators converge to the same image;
 tests/test_nee.py pins that and the variance reduction. One knowing
 approximation: a light cone straddling the horizon is accepted or rejected
 whole (by the cosθ > 0 test) instead of clipped.
+
+Under ``--physical`` the combination upgrades from the hard split to
+multiple importance sampling (balance heuristic): the NEE term carries
+w = pdf_nee/(pdf_nee + pdf_bsdf) and a BSDF hit of an NEE light carries the
+complement, using the cosine-lobe pdf carried in ``PathState.prev_pdf``
+(see ops/shade.py). The reference-compatible transport keeps the hard
+split — its cosine-free weighting has no meaningful pdf to balance.
 """
 
 from __future__ import annotations
@@ -44,7 +51,7 @@ import numpy as np
 from ..scene import MaterialKind, SceneData, SphereData
 from ..vec import Vec3, dot, frame_about
 
-__all__ = ["LightArrays", "extract_lights", "sample_light_dirs", "light_emission"]
+__all__ = ["LightArrays", "extract_lights", "sample_light_dirs", "light_emission", "nee_pdf_toward"]
 
 _TWO_PI = np.float32(2.0 * np.pi)
 
@@ -100,9 +107,11 @@ def extract_lights(sd: SceneData):
 def sample_light_dirs(lights: LightArrays, p: Vec3, ux, uy, upick):
     """Cone-sample a direction from ``p`` toward a uniformly-picked light.
 
-    Returns (dir, weight, light_shape_idx, dist_to_center): ``weight`` is
+    Returns (dir, weight, light_shape_idx, pdf): ``weight`` is
     L_e · L / pdf_cone, i.e. everything of the estimator except the
     surface's f·cosθ and visibility; zero when ``p`` is inside the light.
+    ``pdf`` is the strategy's solid-angle density pdf_cone/L — the MIS
+    balance-heuristic ingredient (inf when inside the light).
     """
     nl = lights.num_lights
     li = jnp.clip(
@@ -154,7 +163,8 @@ def sample_light_dirs(lights: LightArrays, p: Vec3, ux, uy, upick):
     wgt = _TWO_PI * (1.0 - cos_max) * np.float32(nl)
     wgt = jnp.where(inside, 0.0, wgt)
     weight = Vec3(emit[0] * wgt, emit[1] * wgt, emit[2] * wgt)
-    return d, weight, sidx, dist
+    pdf = 1.0 / jnp.maximum(wgt, 1e-20)
+    return d, weight, sidx, pdf
 
 
 def light_emission(lights: LightArrays, shape_idx):
@@ -164,3 +174,30 @@ def light_emission(lights: LightArrays, shape_idx):
     for k in range(lights.num_lights):
         m |= shape_idx == lights.shape_idx[k]
     return m
+
+
+def nee_pdf_toward(lights: LightArrays, p: Vec3, shape_idx):
+    """Solid-angle density with which NEE at ``p`` would have sampled a
+    direction toward the light identified by ``shape_idx`` — the balance-
+    heuristic counterweight for BSDF hits of a light. Zero for non-lights.
+
+    Approximation shared with every production tracer: when light cones
+    overlap, only the hit light's own cone density is counted.
+    """
+    nl = lights.num_lights
+    pdf = jnp.zeros(shape_idx.shape, jnp.float32)
+    for k in range(nl):
+        sel = shape_idx == lights.shape_idx[k]
+        dcx = lights.center[k, 0] - p.x
+        dcy = lights.center[k, 1] - p.y
+        dcz = lights.center[k, 2] - p.z
+        dist2 = dcx * dcx + dcy * dcy + dcz * dcz
+        r = lights.radius[k]
+        sin2 = jnp.clip(r * r / jnp.maximum(dist2, 1e-12), 0.0, 1.0)
+        cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+        omega = _TWO_PI * (1.0 - cos_max)
+        pdf_k = 1.0 / jnp.maximum(omega * np.float32(nl), 1e-20)
+        # Inside the light NEE cannot sample it at all.
+        pdf_k = jnp.where(dist2 <= r * r, 0.0, pdf_k)
+        pdf = jnp.where(sel, pdf_k, pdf)
+    return pdf

@@ -140,6 +140,7 @@ def _kernel(
         radiance=Vec3(zeros, zeros, zeros),
         alive=s_idx < s_limit,
         suppress=jnp.zeros(shape, jnp.bool_) if nee else None,
+        prev_pdf=jnp.zeros(shape, jnp.float32) if nee else None,
     )
 
     lights_v = None

@@ -44,6 +44,10 @@ class PathState(NamedTuple):
     # the NEE light set is suppressed at the next hit so each transport path
     # is counted exactly once (see ops/nee.py). Constant False without NEE.
     suppress: jnp.ndarray = None  # (B,) bool | None
+    # Physical+NEE (MIS) only: the solid-angle pdf with which the previous
+    # diffuse vertex sampled this ray's direction (0 when the previous
+    # vertex had no light-sampling alternative — camera, specular, glossy).
+    prev_pdf: jnp.ndarray = None  # (B,) f32 | None
 
 
 def bounce(
@@ -86,7 +90,7 @@ def bounce(
             return intersect_scan_carry(scene, oo, dd)
         return intersect(scene, oo, dd)
 
-    o, d, tput, rad, alive, suppress = state
+    o, d, tput, rad, alive, suppress, prev_pdf = state
     hit = do_intersect(o, d)
 
     miss = alive & ~hit.mask
@@ -99,9 +103,24 @@ def bounce(
     # Emissive → emit only when facing: (-n)·d > 0 (materials.rs:44-49).
     facing = dot(hit.normal, d) < 0.0
     emit_mask = emit_hit & facing
-    if lights is not None:
-        # NEE double-count suppression: this light's direct contribution was
-        # already added at the previous (diffuse) vertex.
+    emit_w = None  # MIS emission weight (physical mode); None = hard mask
+    if lights is not None and physical:
+        # Multiple importance sampling (balance heuristic): a BSDF hit of an
+        # NEE light is weighted by pdf_b/(pdf_b + pdf_nee) instead of being
+        # dropped outright — strictly lower variance than the hard split.
+        from .nee import light_emission, nee_pdf_toward
+
+        is_l = light_emission(lights, hit.shape)
+        pdf_nee_prev = nee_pdf_toward(lights, o, hit.shape)
+        w_b = prev_pdf / jnp.maximum(prev_pdf + pdf_nee_prev, 1e-20)
+        emit_w = jnp.where(
+            emit_mask,
+            jnp.where(is_l & (prev_pdf > 0.0), w_b, 1.0),
+            0.0,
+        )
+    elif lights is not None:
+        # Reference transport: hard split — this light's direct term was
+        # already added in full at the previous (diffuse) vertex.
         from .nee import light_emission
 
         emit_mask &= ~(suppress & light_emission(lights, hit.shape))
@@ -113,7 +132,17 @@ def bounce(
             acc.z + jnp.where(mask_a, va.z, 0.0) + jnp.where(mask_b, vb.z, 0.0),
         )
 
-    rad = add_masked(rad, miss, tput.hadamard(bg), emit_mask, tput.hadamard(hit.albedo))
+    if emit_w is not None:
+        emis = tput.hadamard(hit.albedo)
+        rad = Vec3(
+            rad.x + jnp.where(miss, tput.x * bg.x, 0.0) + emis.x * emit_w,
+            rad.y + jnp.where(miss, tput.y * bg.y, 0.0) + emis.y * emit_w,
+            rad.z + jnp.where(miss, tput.z * bg.z, 0.0) + emis.z * emit_w,
+        )
+    else:
+        rad = add_masked(
+            rad, miss, tput.hadamard(bg), emit_mask, tput.hadamard(hit.albedo)
+        )
 
     diffuse = scatter & (hit.kind == MaterialKind.MATTE)
     if lights is not None:
@@ -133,15 +162,20 @@ def bounce(
         from .nee import sample_light_dirs
 
         ux, uy, upick, nee_active = nee_samples
-        ldir, lweight, lidx, _ = sample_light_dirs(lights, hit.point, ux, uy, upick)
+        ldir, lweight, lidx, pdf_nee = sample_light_dirs(
+            lights, hit.point, ux, uy, upick
+        )
         cos_s = dot(hit.normal, ldir)
         shadow = do_intersect(hit.point, ldir)
         # Visible iff the nearest thing along the shadow ray IS the light.
         lit = diffuse & (cos_s > 0.0) & shadow.mask & (shadow.shape == lidx)
         lit &= nee_active
         if physical:
-            # True Lambertian: f·cosθ/pdf = (kd·cd/π)·cosθ·2π(1−cos_max).
-            fac = np.float32(1.0 / np.pi) * cos_s
+            # True Lambertian f·cosθ/pdf, MIS-weighted against the cosine
+            # BSDF strategy (balance heuristic).
+            pdf_b = cos_s * np.float32(1.0 / np.pi)
+            w_nee = pdf_nee / jnp.maximum(pdf_nee + pdf_b, 1e-20)
+            fac = np.float32(1.0 / np.pi) * cos_s * w_nee
         else:
             fac = np.float32(1.0 / (2.0 * np.pi))
         contrib = tput.hadamard(hit.albedo).hadamard(lweight) * fac
@@ -156,10 +190,21 @@ def bounce(
 
     # Scatter: new direction + analytic throughput update.
     wi = sample_directions(hit.kind, hit.exponent, hit.normal, d, sx, sy, physical=physical)
+    if lights is not None and physical:
+        # The MIS counterweight for the next bounce: cosine-lobe pdf of the
+        # chosen direction at diffuse vertices, 0 elsewhere.
+        prev_pdf = jnp.where(
+            diffuse,
+            jnp.maximum(dot(hit.normal, wi), 0.0) * np.float32(1.0 / np.pi),
+            0.0,
+        )
+    elif prev_pdf is not None:
+        prev_pdf = jnp.zeros_like(prev_pdf)
     tput = vwhere(scatter, tput.hadamard(hit.albedo), tput)
     o = vwhere(scatter, hit.point, o)
     d = vwhere(scatter, wi, d)
 
     return PathState(
-        o=o, d=d, throughput=tput, radiance=rad, alive=scatter, suppress=suppress
+        o=o, d=d, throughput=tput, radiance=rad, alive=scatter, suppress=suppress,
+        prev_pdf=prev_pdf,
     )

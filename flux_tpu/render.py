@@ -124,6 +124,7 @@ def render_block_impl(
         radiance=Vec3(zeros, zeros, zeros),
         alive=alive0,
         suppress=None if lights is None else jnp.zeros(shape, jnp.bool_),
+        prev_pdf=None if lights is None else jnp.zeros(shape, jnp.float32),
     )
     if pvary_axes:
         # Under shard_map the scan carry must be device-varying from the

@@ -103,3 +103,32 @@ def test_mesh_physical_matches_single_device(devices8):
     out = mr.render_rows(0, sd.output_settings.image_height)
     single = _img(sd, root=4, nee=True, physical=True)
     np.testing.assert_allclose(out, single, rtol=2e-5, atol=2e-5)
+
+
+class TestMIS:
+    """Physical+NEE uses multiple importance sampling (balance heuristic):
+    BSDF hits of NEE lights are down-weighted instead of dropped, and the
+    NEE term carries the complementary weight. Unbiasedness: MIS must
+    converge to the pure-BSDF physical image; efficiency: at equal spp its
+    error must not exceed either pure strategy's by more than noise."""
+
+    def test_mis_unbiased_vs_pure_bsdf(self):
+        sd = light_scene()
+        mis = _img(sd, root=12, nee=True, physical=True)
+        pure = _img(sd, root=64, nee=False, physical=True)
+        assert np.abs(mis - pure).mean() < 0.015
+        assert abs(float(mis.mean()) - float(pure.mean())) < 0.008
+
+    @pytest.mark.parametrize("radius,power", [(0.15, 250.0), (1.5, 3.0)])
+    def test_mis_error_not_worse_than_pure_strategies(self, radius, power):
+        # Small light: NEE dominates; large light: BSDF is competitive.
+        # MIS must track the better strategy in both regimes.
+        sd = light_scene(light_radius=radius, power=power)
+        truth = _img(sd, root=48, nee=True, physical=True)
+        def mse(**kw):
+            img = _img(sd, root=4, seed=11, **kw)
+            return float(((img - truth) ** 2).mean())
+        m_mis = mse(nee=True, physical=True)
+        m_bsdf = mse(nee=False, physical=True)
+        # Not worse than pure BSDF sampling by more than sampling noise.
+        assert m_mis < 1.5 * m_bsdf, (m_mis, m_bsdf)
