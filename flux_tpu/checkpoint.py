@@ -61,6 +61,10 @@ def save_checkpoint(
     lum_sq: Optional[np.ndarray] = None,
 ) -> None:
     tmp = path + ".tmp"
+    # Zero-filled moments are indistinguishable from converged pixels, so
+    # trustworthiness is recorded explicitly: a resume without real moments
+    # must disable the adaptive-stop statistics, not fake perfect ones.
+    stats_valid = lum_sq is not None
     if lum_sq is None:
         lum_sq = np.zeros(acc.shape[:2], np.float32)
     np.savez_compressed(
@@ -68,6 +72,7 @@ def save_checkpoint(
         format=np.int32(_FORMAT),
         acc=np.asarray(acc, np.float32),
         lum_sq=np.asarray(lum_sq, np.float32),
+        stats_valid=np.bool_(stats_valid),
         samples_done=np.int64(samples_done),
         fingerprint=np.frombuffer(fingerprint.encode(), np.uint8),
     )
@@ -82,16 +87,18 @@ def load_checkpoint(path: str):
         if fmt not in (1, 2):
             raise ValueError(f"unsupported checkpoint format {fmt}")
         acc = z["acc"].astype(np.float32)
-        lum_sq = (
-            z["lum_sq"].astype(np.float32)
-            if fmt >= 2
-            else np.zeros(acc.shape[:2], np.float32)
-        )
+        if fmt >= 2:
+            lum_sq = z["lum_sq"].astype(np.float32)
+            stats_valid = bool(z["stats_valid"]) if "stats_valid" in z else True
+        else:  # format 1 predates the moments; zeros would fake convergence
+            lum_sq = np.zeros(acc.shape[:2], np.float32)
+            stats_valid = False
         return (
             acc,
             int(z["samples_done"]),
             z["fingerprint"].tobytes().decode(),
             lum_sq,
+            stats_valid,
         )
 
 
@@ -134,6 +141,10 @@ class ProgressiveRenderer:
         self._rows_per_band = rows_per_band or min(self.height, 128)
         # Per-pixel sum of squared sample luminances (adaptive sampling).
         self.lum_sq = np.zeros((self.height, self.width), np.float32)
+        # False after resuming a checkpoint that carries no real moments —
+        # the totals would under-count variance forever, so the adaptive
+        # stop signal stays disabled for that render.
+        self._stats_valid = True
 
     def render_pass(self, n_samples: int) -> int:
         """Accumulate the next ``n_samples`` sample indices across the whole
@@ -164,7 +175,7 @@ class ProgressiveRenderer:
         conservative in the right direction for a stopping rule. None until
         at least 2 samples."""
         k = self.samples_done
-        if k < 2:
+        if k < 2 or not self._stats_valid:
             return None
         from .color import luminance
 
@@ -195,7 +206,7 @@ class ProgressiveRenderer:
         )
 
     def resume(self, path: str) -> None:
-        acc, done, fp, lum_sq = load_checkpoint(path)
+        acc, done, fp, lum_sq, stats_valid = load_checkpoint(path)
         if fp != self.fingerprint:
             raise ValueError(
                 "checkpoint belongs to a different (scene, root, depth, seed, "
@@ -205,4 +216,5 @@ class ProgressiveRenderer:
             raise ValueError(f"checkpoint shape {acc.shape} != {self.acc.shape}")
         self.acc = acc
         self.lum_sq = lum_sq
+        self._stats_valid = stats_valid
         self.samples_done = done

@@ -42,6 +42,7 @@ import numpy as np
 from ..constants import T_MIN
 from ..scene import SceneArrays
 from ..vec import Vec3
+from .intersect import sphere_t
 
 __all__ = ["BvhArrays", "build_bvh", "sphere_hits_bvh"]
 
@@ -196,14 +197,8 @@ def sphere_hits_bvh(scene: SceneArrays, bvh: BvhArrays, o: Vec3, d: Vec3) -> Sph
             sph = jnp.take(order_pad, fst + np.int32(k), axis=0)
             ctr = jnp.take(scene.sphere_center, sph, axis=0)  # (B, 3)
             rad = jnp.take(scene.sphere_radius, sph, axis=0)
-            ocx, ocy, ocz = o.x - ctr[..., 0], o.y - ctr[..., 1], o.z - ctr[..., 2]
-            b_half = ocx * d.x + ocy * d.y + ocz * d.z
-            c = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
-            disc = b_half * b_half - a * c
-            e = jnp.sqrt(jnp.maximum(disc, 0.0))
-            t_near = (-b_half - e) * inv_a
-            t = jnp.where(t_near > _T_MIN, t_near, (-b_half + e) * inv_a)
-            good = slot_ok & (disc >= 0.0) & (t > _T_MIN) & (t < best_t)
+            t, valid = sphere_t(o, d, a, inv_a, ctr[..., 0], ctr[..., 1], ctr[..., 2], rad)
+            good = slot_ok & valid & (t < best_t)
             best_t = jnp.where(good, t, best_t)
             best_i = jnp.where(good, sph, best_i)
 

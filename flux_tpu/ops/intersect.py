@@ -54,6 +54,22 @@ class Hit(NamedTuple):
     exponent: jnp.ndarray  # (B,) f32 Phong exponent (glossy lanes)
 
 
+
+def sphere_t(o: Vec3, d: Vec3, a, inv_a, cx, cy, cz, radius):
+    """The reference's ray-sphere quadratic (shapes.rs:176-211): near root
+    preferred, far root accepted when the near one is behind T_MIN. Returns
+    (t, valid). The single definition of the hit rule — the unrolled sweep,
+    both scan forms, and the BVH leaf test all fold this."""
+    ocx, ocy, ocz = o.x - cx, o.y - cy, o.z - cz
+    b_half = ocx * d.x + ocy * d.y + ocz * d.z
+    c = ocx * ocx + ocy * ocy + ocz * ocz - radius * radius
+    disc = b_half * b_half - a * c
+    e = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_near = (-b_half - e) * inv_a
+    t = jnp.where(t_near > _T_MIN, t_near, (-b_half + e) * inv_a)
+    return t, (disc >= 0.0) & (t > _T_MIN)
+
+
 def intersect(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
     """Nearest hit of the wavefront (o, d) against every shape."""
     ns = scene.num_spheres
@@ -95,15 +111,7 @@ def intersect(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
         cx, cy, cz = (scene.sphere_center[i, k] for k in range(3))
         radius = scene.sphere_radius[i]
         inv_r = scene.sphere_invert[i] / radius
-        # |o + t d - c|^2 = r^2  (shapes.rs:176-211)
-        ocx, ocy, ocz = o.x - cx, o.y - cy, o.z - cz
-        b_half = ocx * d.x + ocy * d.y + ocz * d.z
-        c = ocx * ocx + ocy * ocy + ocz * ocz - radius * radius
-        disc = b_half * b_half - a * c
-        e = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t_near = (-b_half - e) * inv_a
-        t = jnp.where(t_near > _T_MIN, t_near, (-b_half + e) * inv_a)
-        valid = (disc >= 0.0) & (t > _T_MIN)
+        t, valid = sphere_t(o, d, a, inv_a, cx, cy, cz, radius)
         cond = valid & (t < best_t)
         best_t = jnp.where(cond, t, best_t)
         take(
@@ -282,16 +290,8 @@ def intersect_scan(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
         best_t, best_i = carry
         ctr, rad, base = blk
         for k in range(SCAN_BLOCK):
-            cx, cy, cz = ctr[k, 0], ctr[k, 1], ctr[k, 2]
-            radius = rad[k]
-            ocx, ocy, ocz = o.x - cx, o.y - cy, o.z - cz
-            b_half = ocx * d.x + ocy * d.y + ocz * d.z
-            c = ocx * ocx + ocy * ocy + ocz * ocz - radius * radius
-            disc = b_half * b_half - a * c
-            e = jnp.sqrt(jnp.maximum(disc, 0.0))
-            t_near = (-b_half - e) * inv_a
-            t = jnp.where(t_near > _T_MIN, t_near, (-b_half + e) * inv_a)
-            cond = (disc >= 0.0) & (t > _T_MIN) & (t < best_t)
+            t, valid = sphere_t(o, d, a, inv_a, ctr[k, 0], ctr[k, 1], ctr[k, 2], rad[k])
+            cond = valid & (t < best_t)
             best_t = jnp.where(cond, t, best_t)
             best_i = jnp.where(cond, base + np.int32(k), best_i)
         return (best_t, best_i), None
@@ -390,15 +390,8 @@ def fold_sphere_block(o, d, a, inv_a, carry, ctr, rad, inv_r_b, kind, exp, alb, 
     best_t, best_i, b_kind, b_exp, b_alb, b_ctr, b_inv_r = carry
     for k in range(SCAN_BLOCK):
         cx, cy, cz = ctr[k, 0], ctr[k, 1], ctr[k, 2]
-        radius = rad[k]
-        ocx, ocy, ocz = o.x - cx, o.y - cy, o.z - cz
-        b_half = ocx * d.x + ocy * d.y + ocz * d.z
-        c = ocx * ocx + ocy * ocy + ocz * ocz - radius * radius
-        disc = b_half * b_half - a * c
-        e = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t_near = (-b_half - e) * inv_a
-        t = jnp.where(t_near > _T_MIN, t_near, (-b_half + e) * inv_a)
-        cond = (disc >= 0.0) & (t > _T_MIN) & (t < best_t)
+        t, valid = sphere_t(o, d, a, inv_a, cx, cy, cz, rad[k])
+        cond = valid & (t < best_t)
         best_t = jnp.where(cond, t, best_t)
         best_i = jnp.where(cond, base + np.int32(k), best_i)
         b_kind = jnp.where(cond, kind[k], b_kind)

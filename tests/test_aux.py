@@ -78,8 +78,8 @@ def test_checkpoint_file_roundtrip(tmp_path):
     a.render_pass(2)
     p = str(tmp_path / "x.npz")
     a.save(p)
-    acc, done, fp, lum_sq = load_checkpoint(p)
-    assert done == 2 and fp == a.fingerprint
+    acc, done, fp, lum_sq, stats_valid = load_checkpoint(p)
+    assert done == 2 and fp == a.fingerprint and stats_valid
     np.testing.assert_array_equal(acc, a.acc)
     np.testing.assert_array_equal(lum_sq, a.lum_sq)
 
@@ -252,3 +252,20 @@ class TestAdaptiveSampling:
         # Chunk sizing differs between accels, so summation order (and the
         # last ulp) may differ; the samples themselves are identical.
         np.testing.assert_allclose(pr_sweep.acc, pr_scan.acc, rtol=1e-5, atol=1e-5)
+
+
+def test_resume_without_moments_disables_adaptive_stats(tmp_path):
+    # A checkpoint carrying no real luminance moments (legacy format-1 or a
+    # caller that saved without them) must disable the adaptive stop signal
+    # rather than fake near-zero noise and stop a resumed render early.
+    from flux_tpu.checkpoint import save_checkpoint
+
+    sd = scene()
+    a = ProgressiveRenderer(sd, sample_root=4, max_depth=2, seed=1, target_lanes=1 << 16)
+    a.render_pass(4)
+    p = str(tmp_path / "legacy.npz")
+    save_checkpoint(p, a.acc, a.samples_done, a.fingerprint)  # no lum_sq
+    b = ProgressiveRenderer(sd, sample_root=4, max_depth=2, seed=1, target_lanes=1 << 16)
+    b.resume(p)
+    b.render_pass(4)
+    assert b.max_rel_stderr() is None  # stays disabled for this render
