@@ -102,3 +102,80 @@ def test_sampler_debug_cli(tmp_path):
     img = read_ppm(os.path.join(str(tmp_path), "sampler-debug-cmj.ppm"))
     assert img.shape == (100, 100, 3)
     assert (img[..., 0] > 0.9).sum() >= 14  # ~16 dots (some may overlap)
+
+
+class TestInteractivePreview:
+    """The reference's +/- interactive quality re-render (flux/src/main.rs:
+    296-316): '+' cancels the running job and resubmits at sample_root+1,
+    'q' cancels. Driven through _preview_loop with a real pipe as stdin."""
+
+    def test_plus_resubmits_then_q_cancels(self, tmp_path, monkeypatch):
+        import os
+        import sys
+        import time
+
+        from flux_tpu.cli import _preview_loop
+        from flux_tpu.job import JobConfiguration
+        from flux_tpu.manager import ImageBuilder, RenderManager
+        from flux_tpu.workers import LocalWorker
+        from tests.test_manager import make_scene, env_sphere, tiny_factory
+
+        roots_seen = []
+
+        def factory(job):
+            roots_seen.append(job.config.sample_root)
+            time.sleep(1.5)  # keep the job alive long enough to interact
+            return tiny_factory(job)
+
+        sd = make_scene([env_sphere(0.5)], w=16, h=12)
+        w = LocalWorker(renderer_factory=factory)
+        manager = RenderManager([w.handle()])
+        builder = ImageBuilder(output_dir=str(tmp_path))
+        jobcfg = JobConfiguration(
+            sample_root=2, max_trace_depth=2, rows_per_work_unit=6
+        )
+        job = manager.schedule_job(sd, jobcfg, builder.sender())
+
+        r_fd, w_fd = os.pipe()
+        os.write(w_fd, b"+\n")
+
+        class Args:
+            output_dir = str(tmp_path)
+
+        raw = os.fdopen(r_fd, "r")
+
+        class TtyPipe:
+            """select()-able stdin stand-in that claims to be a TTY."""
+
+            def fileno(self):
+                return r_fd
+
+            def isatty(self):
+                return True
+
+            def readline(self):
+                return raw.readline()
+
+        monkeypatch.setattr(sys, "stdin", TtyPipe())
+
+        import threading
+
+        def feed_quit():
+            time.sleep(4.0)
+            try:
+                os.write(w_fd, b"q\n")
+            except OSError:
+                pass  # loop already exited and closed the pipe
+
+        threading.Thread(target=feed_quit, daemon=True).start()
+        _preview_loop(Args(), sd, manager, builder, job, jobcfg)
+
+        w.stop()
+        manager.stop()
+        builder.stop()
+        raw.close()
+        os.close(w_fd)
+
+        # '+' resubmitted at root 3 after the initial root-2 job.
+        assert roots_seen[0] == 2
+        assert 3 in roots_seen
