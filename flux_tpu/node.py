@@ -93,7 +93,9 @@ def handle_client(conn: socket.socket, worker: LocalWorker) -> None:
                 worker.handle().send(job, unit_queue, sink, wg)
             elif kind == "work_unit":
                 if unit_queue is None:
-                    raise RuntimeError("work_unit before set_job")
+                    # Malformed client; drop the connection, keep serving.
+                    d_println("node: work_unit before set_job")
+                    break
                 unit_queue.put(
                     WorkUnit(
                         row_start=int(msg["row_start"]),
@@ -115,9 +117,42 @@ def handle_client(conn: socket.socket, worker: LocalWorker) -> None:
 
 
 def serve(host: str = "0.0.0.0", port: int = DEFAULT_PORT, *, max_connections=None,
-          ready_event: threading.Event = None) -> None:
-    """Serial accept loop (flux-node/src/main.rs:96-111,141-152)."""
-    worker = LocalWorker(name="node")
+          ready_event: threading.Event = None, devices: int = None) -> None:
+    """Serial accept loop (flux-node/src/main.rs:96-111,141-152).
+
+    ``devices`` limits how many local chips the node's renderer drives
+    (the flux-node ``-t`` threads analog); default all."""
+    factory = None
+    if devices is not None:
+        import jax
+
+        devs = jax.devices()[: max(1, devices)]
+
+        def factory(job):
+            if len(devs) > 1:
+                from .parallel import MeshRenderer, make_mesh
+
+                return MeshRenderer(
+                    job.scene_data,
+                    sample_root=job.config.sample_root,
+                    max_depth=job.config.max_trace_depth,
+                    seed=job.config.seed,
+                    mesh=make_mesh(devs),
+                    nee=job.config.nee,
+                    physical=job.config.physical,
+                )
+            from .render import Renderer
+
+            return Renderer(
+                job.scene_data,
+                sample_root=job.config.sample_root,
+                max_depth=job.config.max_trace_depth,
+                seed=job.config.seed,
+                nee=job.config.nee,
+                physical=job.config.physical,
+            )
+
+    worker = LocalWorker(renderer_factory=factory, name="node")
     srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     srv.bind((host, port))
@@ -158,7 +193,7 @@ def main(argv=None) -> int:
         set_debug(True)
     n = len(jax.devices())
     print(f"flux-node-tpu: serving {min(args.devices or n, n)} of {n} local devices")
-    serve(host=args.host, port=args.port)
+    serve(host=args.host, port=args.port, devices=args.devices)
     return 0
 
 

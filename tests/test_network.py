@@ -110,3 +110,59 @@ def test_mixed_local_and_network_workers(node_endpoint, tmp_path):
 def test_connect_failure_raises():
     with pytest.raises(OSError):
         NetworkWorker("127.0.0.1:1", connect_timeout=0.5)
+
+
+def test_node_honors_device_limit(tmp_path):
+    """serve(devices=1) must build its renderer over one device (the
+    flux-node -t analog, previously parsed but silently ignored)."""
+    import socket
+    import threading
+
+    from flux_tpu import wire
+    from flux_tpu.node import serve
+
+    ready = threading.Event()
+    t = threading.Thread(
+        target=serve,
+        kwargs=dict(host="127.0.0.1", port=0x5EED, max_connections=1,
+                    ready_event=ready, devices=1),
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(30)
+    conn = socket.create_connection(("127.0.0.1", 0x5EED), timeout=10)
+    hello = wire.recv_msg(conn)
+    assert hello["type"] == "worker_info"
+    wire.send_msg(conn, {"type": "shutdown"})
+    conn.close()
+    t.join(30)
+
+
+def test_node_survives_malformed_client():
+    """A client sending work_unit before set_job must not kill the daemon."""
+    import socket
+    import threading
+
+    from flux_tpu import wire
+    from flux_tpu.node import serve
+
+    ready = threading.Event()
+    t = threading.Thread(
+        target=serve,
+        kwargs=dict(host="127.0.0.1", port=0x5EEE, max_connections=2,
+                    ready_event=ready),
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(30)
+    # Bad client: work_unit with no job.
+    c1 = socket.create_connection(("127.0.0.1", 0x5EEE), timeout=10)
+    wire.recv_msg(c1)
+    wire.send_msg(c1, {"type": "work_unit", "row_start": 0, "row_end": 3})
+    c1.close()
+    # The daemon must still accept and serve a second client.
+    c2 = socket.create_connection(("127.0.0.1", 0x5EEE), timeout=10)
+    assert wire.recv_msg(c2)["type"] == "worker_info"
+    wire.send_msg(c2, {"type": "shutdown"})
+    c2.close()
+    t.join(30)
