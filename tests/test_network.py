@@ -166,3 +166,54 @@ def test_node_survives_malformed_client():
     wire.send_msg(c2, {"type": "shutdown"})
     c2.close()
     t.join(30)
+
+
+def test_cancellation_through_network_path(monkeypatch):
+    """Cancel a job mid-render on a network node: the manager's barrier must
+    release, the results so far must be delivered, and the SAME connection
+    must serve a follow-up job. (The reference hangs its WaitGroup on any
+    mid-render network hiccup, SURVEY.md §5 failure-detection.)"""
+    import time
+
+    import flux_tpu.workers as workers_mod
+    from flux_tpu.job import JobConfiguration
+    from flux_tpu.manager import ImageBuilder, RenderManager
+
+    def slow_factory(job):
+        time.sleep(0.4)  # keep the job alive long enough to cancel
+        return tiny_factory(job)
+
+    monkeypatch.setattr(workers_mod, "default_renderer_factory", slow_factory)
+    port = free_port()
+    ready = threading.Event()
+    t = threading.Thread(
+        target=serve,
+        kwargs=dict(host="127.0.0.1", port=port, max_connections=1, ready_event=ready),
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(timeout=10)
+
+    net = NetworkWorker(f"127.0.0.1:{port}")
+    manager = RenderManager([net.handle()])
+    sd = make_scene([env_sphere(0.5)], w=16, h=12)
+    cfg = JobConfiguration(sample_root=2, max_trace_depth=2, rows_per_work_unit=2)
+
+    b1 = ImageBuilder(output_dir="/tmp")
+    job = manager.schedule_job(sd, cfg, b1.sender())
+    time.sleep(0.1)
+    job.cancel()
+    assert job.wait(timeout=60), "cancelled job must release the barrier"
+
+    # The same node connection must serve a complete follow-up job.
+    b2 = ImageBuilder(output_dir="/tmp")
+    job2 = manager.schedule_job(sd, cfg, b2.sender())
+    assert job2.wait(timeout=120)
+    assert b2.wait_finished(timeout=60)
+    img = b2.get_image()
+    assert img is not None and img.filled_rows.all()
+
+    b1.stop()
+    b2.stop()
+    net.stop()
+    manager.stop()
