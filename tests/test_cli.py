@@ -137,7 +137,12 @@ class TestInteractivePreview:
         job = manager.schedule_job(sd, jobcfg, builder.sender())
 
         r_fd, w_fd = os.pipe()
+        # Both keys written up front (one readline per select round): '+'
+        # resubmits at root+1, 'q' then cancels. No feeder thread — a
+        # delayed os.write to a closed-and-reused fd number can corrupt an
+        # unrelated socket of a later test.
         os.write(w_fd, b"+\n")
+        os.write(w_fd, b"q\n")
 
         class Args:
             output_dir = str(tmp_path)
@@ -158,16 +163,6 @@ class TestInteractivePreview:
 
         monkeypatch.setattr(sys, "stdin", TtyPipe())
 
-        import threading
-
-        def feed_quit():
-            time.sleep(4.0)
-            try:
-                os.write(w_fd, b"q\n")
-            except OSError:
-                pass  # loop already exited and closed the pipe
-
-        threading.Thread(target=feed_quit, daemon=True).start()
         _preview_loop(Args(), sd, manager, builder, job, jobcfg)
 
         w.stop()
