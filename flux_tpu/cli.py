@@ -337,6 +337,9 @@ def _run_job_path(args, scene) -> int:
     else:
         job.wait()
 
+    if job.error:
+        print(f"render failed: {job.error}", file=sys.stderr)
+
     builder.wait_finished(timeout=60)
     if builder.last_path:
         print(f"Wrote {builder.last_path}")
@@ -346,7 +349,7 @@ def _run_job_path(args, scene) -> int:
     for w in workers:
         w.stop()
     manager.stop()
-    return 0
+    return 1 if job.error else 0
 
 
 if __name__ == "__main__":

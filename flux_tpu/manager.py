@@ -44,6 +44,7 @@ __all__ = [
     "WorkUnitResult",
     "RowsReady",
     "RenderingFinished",
+    "JobFailed",
     "WaitGroup",
     "WorkerHandle",
     "WorkerInfo",
@@ -88,6 +89,16 @@ class RowsReady:
 class RenderingFinished:
     end_time: float
     monotonic: float
+
+
+@dataclass(frozen=True)
+class JobFailed:
+    """A worker could not render this job at all (emitted into the event
+    stream so remote masters hear about node-side failures; see node.py).
+    The reference has no failure reporting — a dead worker panics the whole
+    master process (manager.rs:158-161)."""
+
+    reason: str
 
 
 RenderEvent = object  # union of the five dataclasses above
@@ -170,6 +181,7 @@ class JobHandle:
         self.job_id = job_id
         self._done = done
         self._cancel = cancel
+        self.error: Optional[str] = None  # set before done when the job failed
 
     def wait(self, timeout: Optional[float] = None) -> bool:
         return self._done.wait(timeout)
@@ -180,6 +192,11 @@ class JobHandle:
 
     def done(self) -> bool:
         return self._done.is_set()
+
+    @property
+    def ok(self) -> bool:
+        """True iff the job finished without a reported failure."""
+        return self._done.is_set() and self.error is None
 
 
 # ---------------------------------------------------------------------------
@@ -343,13 +360,14 @@ class RenderManager:
             if item is None:
                 d_println("Render manager: shutting down")
                 return
-            job, done, cancel, sink = item
+            job, handle, cancel, sink = item
             d_println(f"Render manager: got job {job.id}")
             try:
                 self._run_job(job, cancel, sink)
-            except Exception as e:  # worker failure — skip to next job
+            except Exception as e:  # worker failure — record it, serve on
                 d_println(f"Render manager: job {job.id} failed: {e!r}")
-            done.set()
+                handle.error = f"{type(e).__name__}: {e}"
+            handle._done.set()
 
     def _dispatch_round(self, job: Job, units, cancel, tracker) -> "SchedulerRound":
         """One pull-dispatch round over the currently-alive workers — the
@@ -366,8 +384,19 @@ class RenderManager:
         rnd = SchedulerRound(units, len(workers), cancel_event=cancel)
         tracker.round = rnd
 
+        # A worker may die between the alive filter and the send (its link
+        # thread marks it dead); release that worker's barrier slot and let
+        # the survivors carry the round instead of aborting the job.
+        sent = 0
         for w in workers:
-            w.send(job, rnd, tracker, rnd)
+            try:
+                w.send(job, rnd, tracker, rnd)
+                sent += 1
+            except RuntimeError:
+                rnd.done()
+        if sent == 0:
+            rnd.close()
+            raise RuntimeError("no alive workers")
 
         d_println("Render manager: waiting for job completion or cancellation")
         rnd.wait()
@@ -403,7 +432,14 @@ class RenderManager:
                 d_println(
                     f"Render manager: retrying {len(missing)} lost work units"
                 )
-                self._dispatch_round(job, missing, cancel, tracker).close()
+                rnd2 = self._dispatch_round(job, missing, cancel, tracker)
+                still_missing = rnd2.missing()
+                rnd2.close()
+                if still_missing and not cancel.is_set():
+                    # Don't let a hole in the image masquerade as success.
+                    raise RuntimeError(
+                        f"{len(still_missing)} work units lost after retry"
+                    )
         finally:
             d_println("Render manager: all workers done")
             sink.put(
@@ -416,8 +452,9 @@ class RenderManager:
         job = Job(id=self._allocator.next_id(), scene_data=scene_data, config=config)
         done = threading.Event()
         cancel = threading.Event()
-        self._job_queue.put((job, done, cancel, result_sink))
-        return JobHandle(job.id, done, cancel)
+        handle = JobHandle(job.id, done, cancel)
+        self._job_queue.put((job, handle, cancel, result_sink))
+        return handle
 
     def stop(self) -> None:
         self._job_queue.put(None)

@@ -21,7 +21,7 @@ import threading
 from .constants import DEFAULT_PORT
 from .debug import d_println
 from .job import Job, WorkUnit
-from .manager import RowsReady, WaitGroup
+from .manager import JobFailed, RowsReady, WaitGroup
 from .workers import LocalWorker
 from . import wire
 
@@ -50,14 +50,16 @@ def handle_client(conn: socket.socket, worker: LocalWorker) -> None:
             ev = q.get()
             if ev is None:
                 return
-            if isinstance(ev, RowsReady):
-                try:
+            try:
+                if isinstance(ev, RowsReady):
                     wire.send_msg(
                         conn,
                         wire.encode_rows(ev.result.work_unit.row_start, ev.result.rows),
                     )
-                except OSError:
-                    return
+                elif isinstance(ev, JobFailed):
+                    wire.send_msg(conn, {"type": "job_error", "reason": ev.reason})
+            except OSError:
+                return
 
     def finish_job():
         nonlocal unit_queue, sink, forwarder, wg
@@ -124,33 +126,10 @@ def serve(host: str = "0.0.0.0", port: int = DEFAULT_PORT, *, max_connections=No
     (the flux-node ``-t`` threads analog); default all."""
     factory = None
     if devices is not None:
-        import jax
-
-        devs = jax.devices()[: max(1, devices)]
+        from . import workers as workers_mod
 
         def factory(job):
-            if len(devs) > 1:
-                from .parallel import MeshRenderer, make_mesh
-
-                return MeshRenderer(
-                    job.scene_data,
-                    sample_root=job.config.sample_root,
-                    max_depth=job.config.max_trace_depth,
-                    seed=job.config.seed,
-                    mesh=make_mesh(devs),
-                    nee=job.config.nee,
-                    physical=job.config.physical,
-                )
-            from .render import Renderer
-
-            return Renderer(
-                job.scene_data,
-                sample_root=job.config.sample_root,
-                max_depth=job.config.max_trace_depth,
-                seed=job.config.seed,
-                nee=job.config.nee,
-                physical=job.config.physical,
-            )
+            return workers_mod.default_renderer_factory(job, devices=devices)
 
     worker = LocalWorker(renderer_factory=factory, name="node")
     srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -182,8 +161,15 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="flux-node-tpu", description="Render node daemon")
     p.add_argument("-H", "--host", default="0.0.0.0")
     p.add_argument("-p", "--port", type=int, default=DEFAULT_PORT)
+    def _positive(v):
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError("must be >= 1")
+        return n
+
     p.add_argument(
-        "-t", "--devices", type=int, default=None, help="local devices to serve (default: all)"
+        "-t", "--devices", type=_positive, default=None,
+        help="local devices to serve (default: all)",
     )
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)

@@ -25,6 +25,7 @@ from .constants import DEFAULT_PORT
 from .debug import d_println
 from .job import Job
 from .manager import (
+    JobFailed,
     RowsReady,
     WaitGroup,
     WorkerHandle,
@@ -36,25 +37,34 @@ from . import wire
 __all__ = ["LocalWorker", "NetworkWorker", "default_renderer_factory"]
 
 
-def default_renderer_factory(job: Job):
+class _NodeJobError(Exception):
+    """The node reported it cannot render this job; the connection itself is
+    still synchronized (a clean job_error frame), so the worker survives and
+    the lost units go to the manager's retry round."""
+
+
+def default_renderer_factory(job: Job, devices: int = None):
     """Build the best renderer for the local device set: a single-device
     :class:`~flux_tpu.render.Renderer` on one chip, a sample-sharded
     :class:`~flux_tpu.parallel.MeshRenderer` across all of them otherwise
     (the flux-node-per-box role collapses into the mesh; SURVEY.md §2
-    parallelism table)."""
+    parallelism table). ``devices`` limits the chips used (the node's -t)."""
     import jax
 
     from .render import Renderer
 
-    n_dev = jax.device_count()
-    if n_dev > 1:
-        from .parallel import MeshRenderer
+    devs = jax.devices()
+    if devices is not None:
+        devs = devs[: max(1, devices)]
+    if len(devs) > 1:
+        from .parallel import MeshRenderer, make_mesh
 
         return MeshRenderer(
             job.scene_data,
             sample_root=job.config.sample_root,
             max_depth=job.config.max_trace_depth,
             seed=job.config.seed,
+            mesh=make_mesh(devs),
             nee=job.config.nee,
             physical=job.config.physical,
         )
@@ -113,8 +123,14 @@ class LocalWorker:
             except Exception as e:
                 # Keep serving future jobs (the manager retries lost units);
                 # the reference would panic the whole process here
-                # (manager.rs:158-161).
+                # (manager.rs:158-161). The failure goes into the event
+                # stream so remote masters hear about it (node.py forwards
+                # it as a job_error frame).
                 d_println(f"LocalWorker: job {job.id} failed: {e!r}")
+                try:
+                    sink.put(JobFailed(reason=f"{type(e).__name__}: {e}"))
+                except Exception:
+                    pass
                 # Drain remaining units so the producer and barrier release.
                 while unit_queue.get() is not None:
                     pass
@@ -178,12 +194,23 @@ class NetworkWorker:
             job, unit_queue, sink, wg = req
             try:
                 self._run_job(job, unit_queue, sink)
+            except _NodeJobError as e:
+                # Clean failure frame: the socket is still synchronized and
+                # the node sends no more rows for this job. Drain the queue
+                # so the barrier releases; the manager retries lost units.
+                d_println(f"NetworkWorker[{self.endpoint}]: node job error: {e}")
+                try:
+                    wire.send_msg(self._sock, {"type": "done"})
+                except OSError:
+                    self._handle.mark_dead()
+                while unit_queue.get() is not None:
+                    pass
             except Exception as e:
                 d_println(f"NetworkWorker[{self.endpoint}]: job failed: {e!r}")
-                if isinstance(e, (OSError, ConnectionError, RuntimeError)):
-                    # Dropped/byzantine link: stop receiving work; the
-                    # manager re-dispatches this worker's lost units.
-                    self._handle.mark_dead()
+                # Any mid-protocol exception leaves the byte stream in an
+                # unknown state (stale frames would corrupt the next job);
+                # always retire the connection.
+                self._handle.mark_dead()
                 while unit_queue.get() is not None:
                     pass
             finally:
@@ -203,6 +230,8 @@ class NetworkWorker:
 
         def recv_result(expect: dict) -> None:
             msg = wire.recv_msg(sock)
+            if msg.get("type") == "job_error":
+                raise _NodeJobError(msg.get("reason", "unknown node error"))
             if msg.get("type") != "rows_ready":
                 raise RuntimeError(f"unexpected node message: {msg.get('type')!r}")
             u = expect.pop(msg["row_start"])

@@ -269,3 +269,28 @@ def test_resume_without_moments_disables_adaptive_stats(tmp_path):
     b.resume(p)
     b.render_pass(4)
     assert b.max_rel_stderr() is None  # stays disabled for this render
+
+
+def test_total_worker_failure_reports_error():
+    """If every work unit is lost even after the retry round, the job must
+    report failure instead of silently presenting a black image."""
+    from flux_tpu.job import JobConfiguration
+    from flux_tpu.manager import ImageBuilder, RenderManager
+    from flux_tpu.workers import LocalWorker
+
+    def always_fails(job):
+        raise RuntimeError("boom")
+
+    w = LocalWorker(renderer_factory=always_fails)
+    manager = RenderManager([w.handle()])
+    b = ImageBuilder(output_dir="/tmp")
+    sd = scene()
+    job = manager.schedule_job(
+        sd, JobConfiguration(sample_root=2, max_trace_depth=2, rows_per_work_unit=4),
+        b.sender(),
+    )
+    assert job.wait(timeout=60)
+    assert job.error and not job.ok
+    b.stop()
+    w.stop()
+    manager.stop()

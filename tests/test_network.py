@@ -217,3 +217,41 @@ def test_cancellation_through_network_path(monkeypatch):
     b2.stop()
     net.stop()
     manager.stop()
+
+
+def test_node_render_failure_reported_not_hung(monkeypatch):
+    """A node whose renderer blows up must not hang the master: the node
+    sends a job_error frame, the barrier releases, and the job reports the
+    failure (the reference's WaitGroup would wait forever)."""
+    import time
+
+    import flux_tpu.workers as workers_mod
+    from flux_tpu.job import JobConfiguration
+    from flux_tpu.manager import ImageBuilder, RenderManager
+
+    def exploding_factory(job):
+        raise RuntimeError("injected node failure")
+
+    monkeypatch.setattr(workers_mod, "default_renderer_factory", exploding_factory)
+    port = free_port()
+    ready = threading.Event()
+    t = threading.Thread(
+        target=serve,
+        kwargs=dict(host="127.0.0.1", port=port, max_connections=1, ready_event=ready),
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(timeout=10)
+
+    net = NetworkWorker(f"127.0.0.1:{port}")
+    manager = RenderManager([net.handle()])
+    sd = make_scene([env_sphere(0.5)], w=16, h=12)
+    cfg = JobConfiguration(sample_root=2, max_trace_depth=2, rows_per_work_unit=4)
+    b = ImageBuilder(output_dir="/tmp")
+    job = manager.schedule_job(sd, cfg, b.sender())
+    assert job.wait(timeout=60), "job must complete instead of hanging"
+    assert job.error and "lost after retry" in job.error
+    assert not job.ok
+    b.stop()
+    net.stop()
+    manager.stop()
