@@ -240,6 +240,8 @@ class ConsoleResultReporter:
             elif isinstance(ev, RowsReady):
                 n = ev.result.work_unit.num_rows
                 print(f"ConsoleResultReporter: image fragment done, {n} rows")
+            elif isinstance(ev, JobFailed):
+                print(f"ConsoleResultReporter: worker failed: {ev.reason}")
             elif isinstance(ev, RenderingFinished):
                 print("ConsoleResultReporter: rendering finished")
 
