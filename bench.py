@@ -57,6 +57,41 @@ def main():
     except Exception:
         pass
 
+    # Secondary metrics (never allowed to fail the headline): NEE quality
+    # mode and the large-scene scan path, written to artifacts only — the
+    # stdout contract stays exactly one JSON line.
+    extra = {}
+    try:
+        r2 = Renderer(sd, sample_root=32, max_depth=DEPTH, seed=0, nee=True)
+        r2.render_rows(0, H)
+        t0 = time.time()
+        r2.render_image(rows_per_band=H)
+        w2 = time.time() - t0
+        extra["demo2_nee_1024spp"] = {
+            "wall_clock_s": round(w2, 2),
+            "msamples_per_s": round(W * H * 1024 / w2 / 1e6, 1),
+        }
+    except Exception as e:
+        extra["demo2_nee_1024spp"] = {"error": repr(e)}
+    try:
+        sd3 = load_scene(os.path.join(here, "scenes", "spheres512.yml"))
+        r3 = Renderer(sd3, sample_root=8, max_depth=DEPTH, seed=0)
+        r3.render_rows(0, H)
+        t0 = time.time()
+        r3.render_image(rows_per_band=H)
+        w3 = time.time() - t0
+        extra["spheres512_64spp_scan"] = {
+            "wall_clock_s": round(w3, 2),
+            "msamples_per_s": round(W * H * 64 / w3 / 1e6, 1),
+        }
+    except Exception as e:
+        extra["spheres512_64spp_scan"] = {"error": repr(e)}
+    try:
+        with open(os.path.join(here, "artifacts", "bench_extra.json"), "w") as f:
+            json.dump(extra, f, indent=1)
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
