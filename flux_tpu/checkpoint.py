@@ -68,7 +68,7 @@ def save_checkpoint(
     if lum_sq is None:
         lum_sq = np.zeros(acc.shape[:2], np.float32)
     np.savez_compressed(
-        tmp if tmp.endswith(".npz") else tmp,
+        tmp,  # numpy appends .npz (tmp never carries it; see actual_tmp)
         format=np.int32(_FORMAT),
         acc=np.asarray(acc, np.float32),
         lum_sq=np.asarray(lum_sq, np.float32),
@@ -76,9 +76,7 @@ def save_checkpoint(
         samples_done=np.int64(samples_done),
         fingerprint=np.frombuffer(fingerprint.encode(), np.uint8),
     )
-    # numpy appends .npz to names without it
-    actual_tmp = tmp if tmp.endswith(".npz") else tmp + ".npz"
-    os.replace(actual_tmp, path)
+    os.replace(tmp + ".npz", path)
 
 
 def load_checkpoint(path: str):

@@ -94,9 +94,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", default=".", help="directory for output images")
     p.add_argument("--png", action="store_true", help="also write a PNG next to the PPM")
     p.add_argument("--verbose", action="store_true", help="enable debug tracing")
+    def _pos_int(v):
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError("must be >= 1")
+        return n
+
     p.add_argument(
         "--progressive",
-        type=int,
+        type=_pos_int,
         metavar="SPP",
         default=0,
         help="render progressively in passes of SPP samples (local devices "
@@ -137,6 +143,12 @@ def run_progressive(args, scene) -> int:
     from .checkpoint import ProgressiveRenderer
     from .image import write_png, write_ppm
 
+    if (args.devices or 1) > 1 or args.rows_shards > 1:
+        print(
+            "note: --progressive renders on a single device; "
+            "-t/--rows-shards are ignored here (see NOTES.md)",
+            file=sys.stderr,
+        )
     pr = ProgressiveRenderer(
         scene,
         sample_root=args.root,
@@ -269,6 +281,7 @@ def _preview_loop(args, scene, manager, builder, job, jobcfg) -> None:
                 jobcfg = dc_replace(jobcfg, sample_root=new_root)
                 job = manager.schedule_job(scene, jobcfg, builder.sender())
                 last = -1.0
+    return job
 
 
 def main(argv=None) -> int:
@@ -333,7 +346,9 @@ def _run_job_path(args, scene) -> int:
     job = manager.schedule_job(scene, jobcfg, builder.sender())
 
     if args.preview:
-        _preview_loop(args, scene, manager, builder, job, jobcfg)
+        # The loop may have re-submitted the job (+/- re-render); status
+        # must come from the handle that actually finished.
+        job = _preview_loop(args, scene, manager, builder, job, jobcfg)
     else:
         job.wait()
 

@@ -195,7 +195,7 @@ class MeshRenderer:
         self.nee = self.lights is not None
         self.physical = bool(physical)
         if backend is None:
-            backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         self.backend = backend
         self.interpret = bool(interpret)
         self._fns = {}

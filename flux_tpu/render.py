@@ -285,11 +285,12 @@ class Renderer:
         # estimator; see ops/brdf.py and ops/nee.py.
         self.physical = bool(physical)
         if backend is None:
-            # The megakernel wins ~2-4x on TPU hardware; its interpret mode
-            # on CPU would be pathologically slow, so default by platform.
-            # It implements sweep, scan (as the VMEM carry-style scan) and
-            # NEE; BVH traversal lives in the XLA path only.
-            on_tpu = jax.default_backend() not in ("cpu",)
+            # The megakernel wins ~2-4x on TPU hardware; everywhere else
+            # (CPU, GPU) its Mosaic TPU lowering cannot run, so only an
+            # actual TPU backend selects it. It implements sweep, scan (as
+            # the VMEM carry-style scan) and NEE; BVH traversal lives in
+            # the XLA path only.
+            on_tpu = jax.default_backend() == "tpu"
             backend = "pallas" if (on_tpu and self.bvh is None) else "xla"
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
