@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import socket
 import struct
+import zlib
 
 import msgpack
 import numpy as np
@@ -46,14 +47,28 @@ def recv_msg(sock: socket.socket) -> dict:
 
 
 def encode_rows(row_start: int, rows: np.ndarray) -> dict:
+    """Row block as raw f32 bytes + shape, zlib-deflated when that shrinks
+    it (rendered radiance is smooth, so byte-level deflate typically takes
+    20-50% off; the reference ships every Color struct as an individual
+    CBOR value, which is most of its network cost)."""
     rows = np.ascontiguousarray(rows, np.float32)
-    return {
+    raw = rows.tobytes()
+    msg = {
         "type": "rows_ready",
         "row_start": int(row_start),
         "shape": list(rows.shape),
-        "data": rows.tobytes(),
     }
+    packed = zlib.compress(raw, 1)
+    if len(packed) < len(raw):
+        msg["enc"] = "zlib"
+        msg["data"] = packed
+    else:
+        msg["data"] = raw
+    return msg
 
 
 def decode_rows(msg: dict) -> np.ndarray:
-    return np.frombuffer(msg["data"], np.float32).reshape(msg["shape"]).copy()
+    data = msg["data"]
+    if msg.get("enc") == "zlib":
+        data = zlib.decompress(data)
+    return np.frombuffer(data, np.float32).reshape(msg["shape"]).copy()

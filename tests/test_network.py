@@ -255,3 +255,18 @@ def test_node_render_failure_reported_not_hung(monkeypatch):
     b.stop()
     net.stop()
     manager.stop()
+
+
+def test_wire_rows_compression_roundtrip():
+    """Smooth radiance rows ride the wire zlib-deflated; incompressible
+    noise falls back to raw bytes. Both decode bit-exactly."""
+    smooth = np.full((4, 64, 3), 0.25, dtype=np.float32)
+    msg = wire.encode_rows(0, smooth)
+    assert msg.get("enc") == "zlib"
+    assert len(msg["data"]) < smooth.nbytes
+    np.testing.assert_array_equal(wire.decode_rows(msg), smooth)
+
+    rng = np.random.default_rng(0)
+    noise = rng.random((4, 64, 3), dtype=np.float32)
+    msg2 = wire.encode_rows(0, noise)
+    np.testing.assert_array_equal(wire.decode_rows(msg2), noise)
