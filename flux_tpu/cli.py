@@ -86,10 +86,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--physical",
         action="store_true",
-        help="physically-correct Lambertian transport (cosine-weighted matte "
-        "sampling). The reference's matte estimator drops cosine "
-        "foreshortening (uniform-hemisphere samples weighted by a cosine "
-        "pdf); the default reproduces it for parity, this flag fixes it",
+        help="physically-correct transport: cosine-weighted Lambertian matte "
+        "(the reference's matte estimator drops cosine foreshortening — "
+        "uniform-hemisphere samples weighted by a cosine pdf) and "
+        "normalized-Phong glossy with cosine. With --nee this upgrades to "
+        "multiple importance sampling at matte AND glossy vertices (the "
+        "glossy-firefly fix); the default reproduces the reference for "
+        "parity",
     )
     p.add_argument("--output-dir", default=".", help="directory for output images")
     p.add_argument("--png", action="store_true", help="also write a PNG next to the PPM")

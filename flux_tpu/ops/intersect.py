@@ -24,7 +24,10 @@ matching the reference's ``<=``-biased ``min_by`` (common.rs:16-24).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
 
 import jax.numpy as jnp
 import numpy as np
@@ -34,7 +37,7 @@ from ..scene import SceneArrays
 from ..vec import Vec3
 from ..vec import where as vwhere
 
-__all__ = ["Hit", "intersect", "intersect_bvh", "intersect_scan", "intersect_scan_carry"]
+__all__ = ["Hit", "Intersector", "intersect", "intersect_bvh", "intersect_scan", "intersect_scan_carry"]
 
 _T_MIN = np.float32(T_MIN)
 _INF = np.float32(np.inf)
@@ -437,3 +440,35 @@ def finish_scan_carry(scene: SceneArrays, o: Vec3, d: Vec3, carry) -> Hit:
         albedo=b_alb,
         exponent=b_exp,
     )
+
+
+@dataclass(frozen=True)
+class Intersector:
+    """The chosen intersection strategy, carried as ONE pytree.
+
+    Built once at Renderer construction; everything downstream — the
+    render block, the bounce step, the sharded renderer — just calls it as
+    ``isect(scene, o, d)``. ``mode`` is static pytree metadata (a retrace
+    key for jit); the optional BVH arrays travel as traced leaves. The
+    Pallas megakernel substitutes its own ref-slicing closure of the same
+    shape instead (ops/pallas_kernel.py).
+    """
+
+    bvh: Optional[object] = None  # ops/bvh.py BVHArrays for mode='bvh'
+    mode: str = "sweep"  # 'sweep' | 'scan' | 'scan_carry' | 'bvh'
+
+    def __call__(self, scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
+        if self.mode == "bvh":
+            return intersect_bvh(scene, self.bvh, o, d)
+        if self.mode == "scan":
+            return intersect_scan(scene, o, d)
+        if self.mode == "scan_carry":
+            return intersect_scan_carry(scene, o, d)
+        if self.mode != "sweep":
+            raise ValueError(f"unknown intersection mode {self.mode!r}")
+        return intersect(scene, o, d)
+
+
+jax.tree_util.register_dataclass(
+    Intersector, data_fields=["bvh"], meta_fields=["mode"]
+)

@@ -23,20 +23,24 @@ a cosine pdf (brdf.rs:27-29), so its estimator integrates incident light
 exactly (pinned by the demo-image parity runs), and NEE must estimate the
 same integral or the two estimators would converge to different images.
 
-Specular and glossy vertices keep pure BSDF sampling (a delta / narrow lobe
-makes light sampling useless), and the inverted environment sphere is
-excluded from the light set (BSDF sampling already finds it constantly —
-it subtends the entire sphere). Both estimators converge to the same image;
-tests/test_nee.py pins that and the variance reduction. One knowing
-approximation: a light cone straddling the horizon is accepted or rejected
-whole (by the cosθ > 0 test) instead of clipped.
+In the reference-compatible transport, specular and glossy vertices keep
+pure BSDF sampling (the reference's glossy estimator has no meaningful pdf
+to balance), and the inverted environment sphere is excluded from the light
+set (BSDF sampling already finds it constantly — it subtends the entire
+sphere). Both estimators converge to the same image; tests/test_nee.py pins
+that and the variance reduction. One knowing approximation: a light cone
+straddling the horizon is accepted or rejected whole (by the cosθ > 0 test)
+instead of clipped.
 
 Under ``--physical`` the combination upgrades from the hard split to
 multiple importance sampling (balance heuristic): the NEE term carries
 w = pdf_nee/(pdf_nee + pdf_bsdf) and a BSDF hit of an NEE light carries the
-complement, using the cosine-lobe pdf carried in ``PathState.prev_pdf``
-(see ops/shade.py). The reference-compatible transport keeps the hard
-split — its cosine-free weighting has no meaningful pdf to balance.
+complement, using the sampling pdf carried in ``PathState.prev_pdf``
+(see ops/shade.py). Physical mode also runs NEE at GLOSSY vertices, with
+the normalized-Phong BRDF f = ks·cs·(e+2)/(2π)·(r·w)^e against the
+flip-corrected cos^e lobe pdf — the fix for fireflies from strong small
+lights seen off glossy lobes (tests/test_physical.py::TestGlossyMIS).
+Perfect mirrors stay pure BSDF (delta lobe).
 """
 
 from __future__ import annotations

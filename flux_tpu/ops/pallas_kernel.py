@@ -209,7 +209,7 @@ def _kernel(
             )
             nee_samples = (ux, uy, upick, depth < max_depth)
         state = bounce(
-            scene, state, bx, by, intersect_fn=intersect_fn,
+            scene, state, bx, by, isect=intersect_fn,
             lights=lights_v, nee_samples=nee_samples, physical=physical,
         )
 

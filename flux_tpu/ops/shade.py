@@ -26,10 +26,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..scene import MaterialKind, SceneArrays
-from ..vec import Vec3, dot
+from ..vec import Vec3, dot, reflect
 from ..vec import where as vwhere
 from .brdf import sample_directions
-from .intersect import intersect, intersect_bvh, intersect_scan, intersect_scan_carry
+from .intersect import intersect
 
 __all__ = ["PathState", "bounce"]
 
@@ -55,9 +55,7 @@ def bounce(
     state: PathState,
     sx,
     sy,
-    bvh=None,
-    accel: str = "sweep",
-    intersect_fn=None,
+    isect=None,
     lights=None,
     nee_samples=None,
     physical: bool = False,
@@ -65,33 +63,20 @@ def bounce(
     """Advance every alive path by one bounce.
 
     ``sx``/``sy`` is the stratified unit-square sample for this bounce depth
-    (one fresh 2-D sample per lane per depth). Intersection strategy:
-    ``intersect_fn(scene, o, d)`` overrides everything (the Pallas kernel
-    injects a ref-slicing closure here); ``bvh`` arrays (ops/bvh.py) take
-    the O(log N) traversal; ``accel='scan'`` streams sphere blocks under
-    ``lax.scan`` (constant compile time, the large-scene default);
-    ``'scan_carry'`` is its winner-carrying form; otherwise the unrolled
-    sweep. ``lights`` (ops/nee.py LightArrays) with ``nee_samples``
-    (ux, uy, upick, active) enables next-event estimation at diffuse
-    vertices; ``active`` (a traced bool) gates the direct-light add OFF at
-    the final depth so the NEE estimator truncates transport at exactly the
-    same path length as the BSDF walk (NEE at vertex k collects the
-    emission a BSDF path would collect at vertex k+1).
+    (one fresh 2-D sample per lane per depth). ``isect(scene, o, d)`` is the
+    intersection strategy — an ops/intersect.py :class:`Intersector` built
+    at Renderer construction, or the Pallas kernel's ref-slicing closure;
+    default the unrolled sweep. ``lights`` (ops/nee.py LightArrays) with
+    ``nee_samples`` (ux, uy, upick, active) enables next-event estimation
+    at diffuse vertices; ``active`` (a traced bool) gates the direct-light
+    add OFF at the final depth so the NEE estimator truncates transport at
+    exactly the same path length as the BSDF walk (NEE at vertex k collects
+    the emission a BSDF path would collect at vertex k+1).
     """
-
-    def do_intersect(oo, dd):
-        if intersect_fn is not None:
-            return intersect_fn(scene, oo, dd)
-        if bvh is not None:
-            return intersect_bvh(scene, bvh, oo, dd)
-        if accel == "scan":
-            return intersect_scan(scene, oo, dd)
-        if accel == "scan_carry":
-            return intersect_scan_carry(scene, oo, dd)
-        return intersect(scene, oo, dd)
+    do_intersect = isect if isect is not None else intersect
 
     o, d, tput, rad, alive, suppress, prev_pdf = state
-    hit = do_intersect(o, d)
+    hit = do_intersect(scene, o, d)
 
     miss = alive & ~hit.mask
     is_emissive = hit.kind == MaterialKind.EMISSIVE
@@ -145,6 +130,33 @@ def bounce(
         )
 
     diffuse = scatter & (hit.kind == MaterialKind.MATTE)
+    glossy = scatter & (hit.kind == MaterialKind.GLOSSY)
+    # Physical glossy transport: normalized Phong f = ks·cs·(e+2)/(2π)·(r·w)^e
+    # sampled from the cos^e lobe about the mirror direction r, whose TRUE
+    # density is (e+1)/(2π)·(r·w)^e·(1+dup): the below-horizon flip
+    # (brdf.rs:66-71) maps the lobe onto itself (it preserves r·w, the lobe
+    # being symmetric about its own axis r), doubling the density wherever
+    # the flipped counterpart 2(w·r)r − w lies below the surface horizon.
+    mirror = reflect(d, hit.normal) if physical else None
+
+    def glossy_lobe(wd):
+        """(phong, pdf, dup) of the glossy sampling strategy at direction wd:
+        phong = max(r·wd, 0)^e, the flip-corrected lobe density, and the
+        flip-duplication indicator (1.0 where the flipped counterpart is
+        below the horizon, else 0.0)."""
+        rw = jnp.maximum(
+            mirror.x * wd.x + mirror.y * wd.y + mirror.z * wd.z, 0.0
+        )
+        phong = jnp.power(rw, hit.exponent)
+        flipped = Vec3(
+            2.0 * rw * mirror.x - wd.x,
+            2.0 * rw * mirror.y - wd.y,
+            2.0 * rw * mirror.z - wd.z,
+        )
+        dup = jnp.where(dot(hit.normal, flipped) < 0.0, 1.0, 0.0)
+        pdf = (hit.exponent + 1.0) * np.float32(0.5 / np.pi) * phong * (1.0 + dup)
+        return phong, pdf, dup
+
     if lights is not None:
         # Next-event estimation at diffuse vertices: cone-sample one light,
         # trace a shadow ray, add the direct term (see ops/nee.py).
@@ -166,18 +178,29 @@ def bounce(
             lights, hit.point, ux, uy, upick
         )
         cos_s = dot(hit.normal, ldir)
-        shadow = do_intersect(hit.point, ldir)
+        shadow = do_intersect(scene, hit.point, ldir)
         # Visible iff the nearest thing along the shadow ray IS the light.
-        lit = diffuse & (cos_s > 0.0) & shadow.mask & (shadow.shape == lidx)
+        lit = (cos_s > 0.0) & shadow.mask & (shadow.shape == lidx)
         lit &= nee_active
         if physical:
-            # True Lambertian f·cosθ/pdf, MIS-weighted against the cosine
-            # BSDF strategy (balance heuristic).
-            pdf_b = cos_s * np.float32(1.0 / np.pi)
+            # NEE at diffuse AND glossy vertices, MIS-weighted against the
+            # vertex's own BSDF strategy (balance heuristic). Matte: true
+            # Lambertian f·cosθ with the cosine-lobe pdf. Glossy: normalized
+            # Phong f·cosθ with the flip-corrected cos^e lobe pdf — this is
+            # the firefly fix for strong small lights seen off glossy lobes.
+            phong_l, pdf_g, _ = glossy_lobe(ldir)
+            pdf_b = jnp.where(glossy, pdf_g, cos_s * np.float32(1.0 / np.pi))
+            f_fac = jnp.where(
+                glossy,
+                (hit.exponent + 2.0) * np.float32(0.5 / np.pi) * phong_l,
+                np.float32(1.0 / np.pi),
+            )
             w_nee = pdf_nee / jnp.maximum(pdf_nee + pdf_b, 1e-20)
-            fac = np.float32(1.0 / np.pi) * cos_s * w_nee
+            fac = f_fac * cos_s * w_nee
+            lit &= diffuse | glossy
         else:
             fac = np.float32(1.0 / (2.0 * np.pi))
+            lit &= diffuse
         contrib = tput.hadamard(hit.albedo).hadamard(lweight) * fac
         rad = Vec3(
             rad.x + jnp.where(lit, contrib.x, 0.0),
@@ -190,17 +213,35 @@ def bounce(
 
     # Scatter: new direction + analytic throughput update.
     wi = sample_directions(hit.kind, hit.exponent, hit.normal, d, sx, sy, physical=physical)
-    if lights is not None and physical:
-        # The MIS counterweight for the next bounce: cosine-lobe pdf of the
-        # chosen direction at diffuse vertices, 0 elsewhere.
-        prev_pdf = jnp.where(
-            diffuse,
-            jnp.maximum(dot(hit.normal, wi), 0.0) * np.float32(1.0 / np.pi),
-            0.0,
+    tput_fac = None
+    if physical:
+        # Physical glossy walk weight f·cosθ/pdf: the Phong powers cancel,
+        # leaving (e+2)/(e+1) · cosθ / (1+dup) — applied with or without NEE
+        # so the transport is estimator-independent. (Matte and perfect-
+        # specular cancellations stay exactly 1; see ops/brdf.py.)
+        phong_i, pdf_gi, dup_i = glossy_lobe(wi)
+        cos_i = jnp.maximum(dot(hit.normal, wi), 0.0)
+        tput_fac = jnp.where(
+            glossy,
+            (hit.exponent + 2.0) / (hit.exponent + 1.0) * cos_i / (1.0 + dup_i),
+            1.0,
         )
+        if lights is not None:
+            # The MIS counterweight for the next bounce: the sampling pdf of
+            # the chosen direction at diffuse/glossy vertices, 0 elsewhere
+            # (camera, perfect specular — no light-sampling alternative at a
+            # delta lobe).
+            prev_pdf = jnp.where(
+                glossy,
+                pdf_gi,
+                jnp.where(diffuse, cos_i * np.float32(1.0 / np.pi), 0.0),
+            )
     elif prev_pdf is not None:
         prev_pdf = jnp.zeros_like(prev_pdf)
-    tput = vwhere(scatter, tput.hadamard(hit.albedo), tput)
+    new_tput = tput.hadamard(hit.albedo)
+    if tput_fac is not None:
+        new_tput = new_tput * tput_fac
+    tput = vwhere(scatter, new_tput, tput)
     o = vwhere(scatter, hit.point, o)
     d = vwhere(scatter, wi, d)
 

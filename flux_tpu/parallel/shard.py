@@ -29,6 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..camera import camera_arrays
+from ..ops.intersect import Intersector
 from ..render import finalize, render_block_impl
 from ..scene import SceneData, compile_scene
 from .mesh import make_mesh
@@ -112,7 +113,7 @@ def sharded_unit_fn(
                 max_depth=max_depth,
                 pvary_axes=("rows", "spp"),
                 s_limit=s_limit,
-                accel=accel,
+                isect=Intersector(mode=accel),
                 lights=lights_v,
                 physical=physical,
             )

@@ -37,6 +37,7 @@ import numpy as np
 
 from .camera import CameraArrays, camera_arrays, primary_rays
 from .color import luminance, max_to_one
+from .ops.intersect import Intersector
 from .ops.shade import PathState, bounce
 from .samplers.hash import hash_combine
 from .samplers.patterns import cmj_point, mj_point
@@ -72,8 +73,7 @@ def render_block_impl(
     max_depth: int,
     s_limit=None,
     pvary_axes=(),
-    bvh=None,
-    accel="sweep",
+    isect=None,
     with_stats=False,
     lights=None,
     physical=False,
@@ -84,8 +84,9 @@ def render_block_impl(
     traced scalars, so one compilation serves every block of a job.
     ``s_limit`` (traced, optional) masks off lanes with global sample index
     >= s_limit — used by the sharded renderer when root² doesn't divide the
-    device count evenly.  ``bvh`` (optional ops/bvh.py arrays) switches
-    intersection to the O(log N) traversal for many-sphere scenes.  This is
+    device count evenly.  ``isect`` (an ops/intersect.py Intersector, built
+    once at Renderer construction) selects the intersection strategy —
+    unrolled sweep (default), blocked scan, or BVH traversal.  This is
     the un-jitted core so it can be invoked inside ``shard_map``; use
     :func:`render_block` directly otherwise.
     """
@@ -159,7 +160,7 @@ def render_block_impl(
             )
         return (
             bounce(
-                scene, st, bx, by, bvh=bvh, accel=accel,
+                scene, st, bx, by, isect=isect,
                 lights=lights, nee_samples=nee_samples, physical=physical,
             ),
             None,
@@ -192,7 +193,6 @@ render_block = jax.jit(
         "root",
         "max_depth",
         "pvary_axes",
-        "accel",
         "with_stats",
         "physical",
     ),
@@ -272,6 +272,8 @@ class Renderer:
                 np.asarray(self.scene.sphere_center),
                 np.asarray(self.scene.sphere_radius),
             )
+        # The one intersection-strategy object everything downstream calls.
+        self.isect = Intersector(bvh=self.bvh, mode=accel)
         # Next-event estimation (opt-in; ops/nee.py): direct light sampling
         # at diffuse vertices.
         self.lights = None
@@ -379,8 +381,7 @@ class Renderer:
                 n_samples=n,
                 root=self.root,
                 max_depth=self.max_depth,
-                bvh=self.bvh,
-                accel=self.accel,
+                isect=self.isect,
                 with_stats=with_stats,
                 lights=self.lights,
                 physical=self.physical,

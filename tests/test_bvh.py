@@ -302,9 +302,12 @@ class TestKernelScan:
                 accel="scan", interpret=True, **kw,
             )
         )
+        from flux_tpu.ops.intersect import Intersector
+
         b = np.asarray(
             render_block_impl(
-                sc, cam, np.int32(0), np.uint32(0), np.uint32(0), accel="scan", **kw
+                sc, cam, np.int32(0), np.uint32(0), np.uint32(0),
+                isect=Intersector(mode="scan"), **kw
             )
         )
         frac_diff = (np.abs(a - b) > 1e-5).mean()

