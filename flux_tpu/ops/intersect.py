@@ -37,7 +37,7 @@ from ..scene import SceneArrays
 from ..vec import Vec3
 from ..vec import where as vwhere
 
-__all__ = ["Hit", "Intersector", "intersect", "intersect_bvh", "intersect_scan", "intersect_scan_carry"]
+__all__ = ["Hit", "Intersector", "intersect", "intersect_bvh", "intersect_scan", "intersect_scan_carry", "occluded_sweep", "occluded_scan"]
 
 _T_MIN = np.float32(T_MIN)
 _INF = np.float32(np.inf)
@@ -442,6 +442,88 @@ def finish_scan_carry(scene: SceneArrays, o: Vec3, d: Vec3, carry) -> Hit:
     )
 
 
+def _plane_occluded(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx, occ):
+    """Fold the (unrolled) planes into an any-hit occlusion mask."""
+    ns = scene.num_spheres
+    for j in range(scene.num_planes):
+        px, py, pz = (scene.plane_point[j, k] for k in range(3))
+        nx, ny, nz = (scene.plane_normal[j, k] for k in range(3))
+        num = (px - o.x) * nx + (py - o.y) * ny + (pz - o.z) * nz
+        den = d.x * nx + d.y * ny + d.z * nz
+        t = num / den
+        occ = occ | (
+            (t > _T_MIN) & (t < t_max) & (exclude_idx != np.int32(ns + j))
+        )
+    return occ
+
+
+def fold_occluded_block(o, d, a, inv_a, occ, ctr, rad, t_max, exclude_idx, base):
+    """Fold one SCAN_BLOCK of spheres into an any-hit occlusion mask —
+    the shadow-ray sibling of :func:`fold_sphere_block`, with no winner
+    fold at all (an OR replaces ~11 selects per sphere)."""
+    for k in range(SCAN_BLOCK):
+        t, valid = sphere_t(o, d, a, inv_a, ctr[k, 0], ctr[k, 1], ctr[k, 2], rad[k])
+        occ = occ | (
+            valid & (t < t_max) & (exclude_idx != base + np.int32(k))
+        )
+    return occ
+
+
+def occluded_sweep(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx):
+    """Any-hit shadow test: does any shape OTHER than ``exclude_idx``
+    intersect (o, d) at T_MIN < t < t_max?
+
+    The shadow-ray primitive for next-event estimation: visibility only
+    needs "any occluder before the light", so the nearest-hit winner fold
+    (t/index/material selects per shape) collapses to one OR per shape —
+    about a third less work per sphere than :func:`intersect`. Semantics
+    match the nearest-hit formulation ``hit.shape == exclude_idx`` exactly
+    up to floating-point ties (measure-zero for Monte Carlo estimates).
+    """
+    a = d.x * d.x + d.y * d.y + d.z * d.z
+    inv_a = 1.0 / a
+    # Derived from o so the mask inherits o's varying axes under shard_map.
+    occ = (o.x * 0.0) > 0.0
+    for i in range(scene.num_spheres):
+        cx, cy, cz = (scene.sphere_center[i, k] for k in range(3))
+        t, valid = sphere_t(o, d, a, inv_a, cx, cy, cz, scene.sphere_radius[i])
+        occ = occ | (valid & (t < t_max) & (exclude_idx != np.int32(i)))
+    return _plane_occluded(scene, o, d, t_max, exclude_idx, occ)
+
+
+def occluded_scan(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx):
+    """Any-hit shadow test via a ``lax.scan`` over sphere blocks — the
+    scaling form of :func:`occluded_sweep` (compile time constant in scene
+    size; carry is a single bool mask)."""
+    import jax
+
+    ns = scene.num_spheres
+    a = d.x * d.x + d.y * d.y + d.z * d.z
+    inv_a = 1.0 / a
+
+    n_blocks = -(-ns // SCAN_BLOCK)
+    pad = n_blocks * SCAN_BLOCK - ns
+    # NaN-centered padding spheres can never test valid (see intersect_scan).
+    ctr_pad = jnp.concatenate(
+        [scene.sphere_center, jnp.full((pad, 3), np.nan, jnp.float32)]
+    ).reshape(n_blocks, SCAN_BLOCK, 3)
+    rad_pad = jnp.concatenate(
+        [scene.sphere_radius, jnp.ones((pad,), jnp.float32)]
+    ).reshape(n_blocks, SCAN_BLOCK)
+
+    def step(occ, blk):
+        ctr, rad, base = blk
+        return (
+            fold_occluded_block(o, d, a, inv_a, occ, ctr, rad, t_max, exclude_idx, base),
+            None,
+        )
+
+    occ0 = (o.x * 0.0) > 0.0
+    bases = jnp.arange(n_blocks, dtype=jnp.int32) * np.int32(SCAN_BLOCK)
+    occ, _ = jax.lax.scan(step, occ0, (ctr_pad, rad_pad, bases))
+    return _plane_occluded(scene, o, d, t_max, exclude_idx, occ)
+
+
 @dataclass(frozen=True)
 class Intersector:
     """The chosen intersection strategy, carried as ONE pytree.
@@ -467,6 +549,22 @@ class Intersector:
         if self.mode != "sweep":
             raise ValueError(f"unknown intersection mode {self.mode!r}")
         return intersect(scene, o, d)
+
+    def occluded(self, scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx):
+        """Any-hit shadow test (see :func:`occluded_sweep`): True where some
+        shape other than ``exclude_idx`` blocks (o, d) before ``t_max``.
+        The BVH mode derives it from the full traversal (shadow rays are a
+        NEE feature; BVH+NEE is a rare combination not worth a second
+        traversal program)."""
+        if self.mode in ("scan", "scan_carry"):
+            return occluded_scan(scene, o, d, t_max, exclude_idx)
+        if self.mode == "bvh":
+            h = intersect_bvh(scene, self.bvh, o, d)
+            return h.mask & (h.t < t_max) & (h.shape != exclude_idx)
+        return occluded_sweep(scene, o, d, t_max, exclude_idx)
+
+
+
 
 
 jax.tree_util.register_dataclass(

@@ -111,11 +111,14 @@ def extract_lights(sd: SceneData):
 def sample_light_dirs(lights: LightArrays, p: Vec3, ux, uy, upick):
     """Cone-sample a direction from ``p`` toward a uniformly-picked light.
 
-    Returns (dir, weight, light_shape_idx, pdf): ``weight`` is
-    L_e · L / pdf_cone, i.e. everything of the estimator except the
+    Returns (dir, weight, light_shape_idx, pdf, center, radius): ``weight``
+    is L_e · L / pdf_cone, i.e. everything of the estimator except the
     surface's f·cosθ and visibility; zero when ``p`` is inside the light.
     ``pdf`` is the strategy's solid-angle density pdf_cone/L — the MIS
-    balance-heuristic ingredient (inf when inside the light).
+    balance-heuristic ingredient (inf when inside the light). ``center``
+    (Vec3) and ``radius`` are the picked light's geometry, so the caller
+    can compute the light's own ray-t with the exact same ``sphere_t``
+    rule the intersection sweep uses (any-hit shadow rays need t_max).
     """
     nl = lights.num_lights
     li = jnp.clip(
@@ -168,7 +171,7 @@ def sample_light_dirs(lights: LightArrays, p: Vec3, ux, uy, upick):
     wgt = jnp.where(inside, 0.0, wgt)
     weight = Vec3(emit[0] * wgt, emit[1] * wgt, emit[2] * wgt)
     pdf = 1.0 / jnp.maximum(wgt, 1e-20)
-    return d, weight, sidx, pdf
+    return d, weight, sidx, pdf, Vec3(cx, cy, cz), rad
 
 
 def light_emission(lights: LightArrays, shape_idx):

@@ -154,7 +154,9 @@ def _kernel(
             shape_idx=light_i_ref[:, 0],
         )
 
-    intersect_fn = None
+    from .intersect import Intersector
+
+    intersect_fn = Intersector(mode="sweep")
     if accel == "scan":
         # Blocked-scan intersection, in-kernel form: a fori_loop whose body
         # slices each SCAN_BLOCK of spheres straight out of the VMEM refs
@@ -164,7 +166,9 @@ def _kernel(
         # same fold the XLA path runs (ops/intersect.py fold_sphere_block).
         from ..ops.intersect import (
             SCAN_BLOCK,
+            _plane_occluded,
             finish_scan_carry,
+            fold_occluded_block,
             fold_sphere_block,
             scan_carry_init,
         )
@@ -196,6 +200,28 @@ def _kernel(
                 0, n_sph_pad // SCAN_BLOCK, body, scan_carry_init(o.x)
             )
             return finish_scan_carry(scene_v, o, d, carry)
+
+        def _occluded_fn(scene_v, o, d, t_max, exclude_idx):
+            # Any-hit shadow test, in-kernel blocked form (see
+            # intersect.occluded_scan — same fold, ref slices for blocks).
+            a = d.x * d.x + d.y * d.y + d.z * d.z
+            inv_a = 1.0 / a
+
+            def body(i, occ):
+                start = i * SCAN_BLOCK
+                ctr = sphere_c_ref[pl.ds(start, SCAN_BLOCK), :]
+                rad = sphere_r_ref[pl.ds(start, SCAN_BLOCK), 0]
+                return fold_occluded_block(
+                    o, d, a, inv_a, occ, ctr, rad, t_max, exclude_idx,
+                    start.astype(jnp.int32),
+                )
+
+            occ = jax.lax.fori_loop(
+                0, n_sph_pad // SCAN_BLOCK, body, (o.x * 0.0) > 0.0
+            )
+            return _plane_occluded(scene_v, o, d, t_max, exclude_idx, occ)
+
+        intersect_fn.occluded = _occluded_fn
 
     for depth in range(1, max_depth + 1):
         pat = hash_combine(pixel_base, SALT_BOUNCE, np.uint32(depth))

@@ -171,17 +171,31 @@ def bounce(
         # (pinned by the demo parity renders), so NEE must estimate the
         # same integral — hence weight/(2π), no cosθ, with the horizon
         # test standing in for the hemisphere's support.
+        from .intersect import sphere_t
         from .nee import sample_light_dirs
 
         ux, uy, upick, nee_active = nee_samples
-        ldir, lweight, lidx, pdf_nee = sample_light_dirs(
+        ldir, lweight, lidx, pdf_nee, lctr, lrad = sample_light_dirs(
             lights, hit.point, ux, uy, upick
         )
         cos_s = dot(hit.normal, ldir)
-        shadow = do_intersect(scene, hit.point, ldir)
-        # Visible iff the nearest thing along the shadow ray IS the light.
-        lit = (cos_s > 0.0) & shadow.mask & (shadow.shape == lidx)
-        lit &= nee_active
+        # Shadow test. Strategies expose an any-hit primitive (`occluded`):
+        # visibility only needs "any occluder before the light", so the
+        # light's own ray-t is computed with the exact sphere_t rule the
+        # sweep would use and everything else is a cheap OR fold — about a
+        # third less work per sphere than the nearest-hit sweep. Fallback
+        # (plain intersect callables): nearest hit must BE the light.
+        occluded = getattr(do_intersect, "occluded", None)
+        if occluded is not None:
+            a_sh = dot(ldir, ldir)
+            t_l, l_valid = sphere_t(
+                hit.point, ldir, a_sh, 1.0 / a_sh, lctr.x, lctr.y, lctr.z, lrad
+            )
+            lit = l_valid & ~occluded(scene, hit.point, ldir, t_l, lidx)
+        else:
+            shadow = do_intersect(scene, hit.point, ldir)
+            lit = shadow.mask & (shadow.shape == lidx)
+        lit &= (cos_s > 0.0) & nee_active
         if physical:
             # NEE at diffuse AND glossy vertices, MIS-weighted against the
             # vertex's own BSDF strategy (balance heuristic). Matte: true

@@ -90,6 +90,8 @@ def render_block_impl(
     the un-jitted core so it can be invoked inside ``shard_map``; use
     :func:`render_block` directly otherwise.
     """
+    if isect is None:
+        isect = Intersector(mode="sweep")
     s_idx = (jnp.uint32(s0) + jnp.arange(n_samples, dtype=jnp.uint32))[:, None, None]
     row = (jnp.int32(row0) + jnp.arange(n_rows, dtype=jnp.int32))[None, :, None]
     col = jnp.arange(img_w, dtype=jnp.int32)[None, None, :]

@@ -172,3 +172,75 @@ class TestBRDFDirections:
         wi = self.sample_many(MaterialKind.GLOSSY, 1.0)
         r = np.array([0.70710677, 0.70710677, 0.0])
         assert (wi @ r).std() > 0.1
+
+
+class TestOccluded:
+    """Any-hit shadow primitive vs the nearest-hit oracle: for random rays
+    and a random sphere/plane field, ``occluded(o, d, t_l, ex)`` must equal
+    "the nearest hit of (o, d) is NOT shape ex with t == t_l" — i.e. the
+    two shadow-test formulations used by ops/shade.py agree."""
+
+    def _field(self, n=37, seed=3):
+        rng = np.random.default_rng(seed)
+        shapes = [
+            SphereData(
+                center=tuple(rng.uniform(-4, 4, 3)),
+                radius=float(rng.uniform(0.2, 0.9)),
+                material=MATTE,
+            )
+            for _ in range(n)
+        ]
+        shapes.append(
+            PlaneData(point=(0.0, -5.0, 0.0), normal=(0.0, 1.0, 0.0), material=MATTE)
+        )
+        return make_arrays(shapes)
+
+    def _rays(self, m=512, seed=7):
+        rng = np.random.default_rng(seed)
+        o = rng.uniform(-5, 5, (3, m)).astype(np.float32)
+        d = rng.normal(size=(3, m)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=0, keepdims=True)
+        return (
+            Vec3(*(jnp.asarray(o[k]) for k in range(3))),
+            Vec3(*(jnp.asarray(d[k]) for k in range(3))),
+        )
+
+    @pytest.mark.parametrize("mode", ["sweep", "scan"])
+    def test_matches_nearest_hit_oracle(self, mode):
+        from flux_tpu.ops.intersect import Intersector, intersect
+
+        scene = self._field()
+        o, d = self._rays()
+        h = intersect(scene, o, d)
+        # Use each ray's own nearest hit as the "light": t_max = h.t,
+        # exclude = h.shape. Nothing is strictly before the nearest hit, so
+        # occlusion must be False wherever something was hit; pushing t_max
+        # beyond the second hit must flip rays that have two hits.
+        isect = Intersector(mode=mode)
+        t_max = jnp.where(h.mask, h.t, 1e-3)
+        occ = isect.occluded(scene, o, d, t_max, h.shape)
+        assert not bool(np.asarray(occ & h.mask).any())
+        # With a huge t_max and an excluded id matching nothing, occlusion
+        # must be True exactly where intersect found any hit.
+        occ_all = isect.occluded(scene, o, d, jnp.full_like(h.t, 1e9), jnp.full_like(h.shape, -1))
+        np.testing.assert_array_equal(np.asarray(occ_all), np.asarray(h.mask))
+
+    def test_exclude_only_skips_that_shape(self):
+        from flux_tpu.ops.intersect import occluded_sweep
+
+        scene = make_arrays(
+            [
+                SphereData(center=(0, 0, 2.0), radius=0.5, material=MATTE),
+                SphereData(center=(0, 0, 4.0), radius=0.5, material=MATTE),
+            ]
+        )
+        o = vec(0, 0, 0)
+        d = vec(0, 0, 1)
+        big = jnp.asarray([1e9], jnp.float32)
+        # Excluding the near sphere: the far one still occludes.
+        assert bool(occluded_sweep(scene, o, d, big, jnp.asarray([0], jnp.int32))[0])
+        # Excluding nothing relevant: occluded.
+        assert bool(occluded_sweep(scene, o, d, big, jnp.asarray([-1], jnp.int32))[0])
+        # t_max before the first sphere: clear.
+        near = jnp.asarray([1.0], jnp.float32)
+        assert not bool(occluded_sweep(scene, o, d, near, jnp.asarray([-1], jnp.int32))[0])
