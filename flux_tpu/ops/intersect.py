@@ -555,7 +555,11 @@ class Intersector:
         shape other than ``exclude_idx`` blocks (o, d) before ``t_max``.
         The BVH mode derives it from the full traversal (shadow rays are a
         NEE feature; BVH+NEE is a rare combination not worth a second
-        traversal program)."""
+        traversal program) — which is equivalent ONLY under the shadow-ray
+        contract that ``t_max`` is the excluded shape's own nearest t (then
+        "nearest hit is the excluded shape" ⟺ "nothing else before t_max");
+        with a larger t_max the derived form misses occluders behind the
+        excluded shape. Callers (ops/shade.py) always pass the light's t."""
         if self.mode in ("scan", "scan_carry"):
             return occluded_scan(scene, o, d, t_max, exclude_idx)
         if self.mode == "bvh":
