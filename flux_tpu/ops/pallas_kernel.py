@@ -70,6 +70,7 @@ def _kernel(
     light_e_ref,  # (L, 3) f32 emission (color x power)
     light_i_ref,  # (L, 1) i32 sphere shape index
     out_ref,  # (8, LANES) f32 block; rows 0..2 = rgb sums
+    st_ref=None,  # (n_state, s_blk, LANES) f32 VMEM scratch (early_exit only)
     *,
     img_w: int,
     img_h: int,
@@ -80,6 +81,7 @@ def _kernel(
     with_stats: bool,
     nee: bool,
     physical: bool,
+    early_exit: bool,
 ):
     j = pl.program_id(1)
 
@@ -223,21 +225,73 @@ def _kernel(
 
         intersect_fn.occluded = _occluded_fn
 
-    for depth in range(1, max_depth + 1):
-        pat = hash_combine(pixel_base, SALT_BOUNCE, np.uint32(depth))
-        bx, by = mj_point(s_idx, root, pat)
-        nee_samples = None
-        if nee:
-            npat = hash_combine(pixel_base, SALT_NEE, np.uint32(depth))
-            ux, uy = mj_point(s_idx, root, npat)
-            upick = randfloat(
-                s_idx, hash_combine(pixel_base, SALT_NEEPICK, np.uint32(depth))
+    def make_step(depth):
+        def step(st):
+            pat = hash_combine(pixel_base, SALT_BOUNCE, np.uint32(depth))
+            bx, by = mj_point(s_idx, root, pat)
+            nee_samples = None
+            if nee:
+                npat = hash_combine(pixel_base, SALT_NEE, np.uint32(depth))
+                ux, uy = mj_point(s_idx, root, npat)
+                upick = randfloat(
+                    s_idx, hash_combine(pixel_base, SALT_NEEPICK, np.uint32(depth))
+                )
+                nee_samples = (ux, uy, upick, depth < max_depth)
+            return bounce(
+                scene, st, bx, by, isect=intersect_fn,
+                lights=lights_v, nee_samples=nee_samples, physical=physical,
             )
-            nee_samples = (ux, uy, upick, depth < max_depth)
-        state = bounce(
-            scene, state, bx, by, isect=intersect_fn,
-            lights=lights_v, nee_samples=nee_samples, physical=physical,
-        )
+
+        return step
+
+    if not early_exit:
+        for depth in range(1, max_depth + 1):
+            state = make_step(depth)(state)
+    else:
+        # Whole-tile early exit. A tile is (s_blk samples × 128 CONTIGUOUS
+        # pixels of one row), so path death is spatially coherent: sky/env
+        # tiles terminate at depth 1 and skip every remaining bounce
+        # (intersection + sampling + shading) behind one scalar branch.
+        # The state lives in a VMEM scratch ref mutated under ``pl.when`` —
+        # a side-effecting scf.if, which Mosaic lowers fine, unlike a
+        # value-yielding lax.cond over the ~100-register path state (that
+        # form crashes the Mosaic compiler; see NOTES.md). Bool fields ride
+        # as f32 0/1 (Mosaic VMEM has no i1 stores).
+
+        def write_state(st):
+            vals = [
+                st.o.x, st.o.y, st.o.z,
+                st.d.x, st.d.y, st.d.z,
+                st.throughput.x, st.throughput.y, st.throughput.z,
+                st.radiance.x, st.radiance.y, st.radiance.z,
+                st.alive.astype(jnp.float32),
+            ]
+            if nee:
+                vals += [st.suppress.astype(jnp.float32), st.prev_pdf]
+            for k, v in enumerate(vals):
+                st_ref[k, :, :] = jnp.broadcast_to(v, (s_blk, LANES))
+
+        def read_state():
+            g = lambda k: st_ref[k, :, :]
+            return PathState(
+                o=Vec3(g(0), g(1), g(2)),
+                d=Vec3(g(3), g(4), g(5)),
+                throughput=Vec3(g(6), g(7), g(8)),
+                radiance=Vec3(g(9), g(10), g(11)),
+                alive=g(12) > 0.0,
+                suppress=(g(13) > 0.0) if nee else None,
+                prev_pdf=g(14) if nee else None,
+            )
+
+        # Depth 1 runs unconditionally (every lane starts alive).
+        write_state(make_step(1)(state))
+        for depth in range(2, max_depth + 1):
+
+            @pl.when(jnp.any(st_ref[12, :, :] > 0.0))
+            def _step(depth=depth):
+                write_state(make_step(depth)(read_state()))
+
+        state = read_state()
 
     rad = state.radiance
     out_ref[0, :] += jnp.sum(rad.x, axis=0)
@@ -267,6 +321,7 @@ def _kernel(
         "accel",
         "with_stats",
         "physical",
+        "early_exit",
     ),
 )
 def render_block_pallas(
@@ -290,6 +345,7 @@ def render_block_pallas(
     with_stats: bool = False,
     lights=None,
     physical: bool = False,
+    early_exit: bool = True,
 ):
     """Drop-in replacement for render.render_block (same contract: radiance
     sums over sample indices [s0, s0+n_samples) for a row band).
@@ -395,7 +451,11 @@ def render_block_pallas(
     kern = functools.partial(
         _kernel, img_w=img_w, img_h=img_h, root=root, max_depth=max_depth,
         s_blk=s_blk, accel=accel, with_stats=with_stats, nee=nee,
-        physical=physical,
+        physical=physical, early_exit=early_exit,
+    )
+    n_state = 15 if nee else 13
+    scratch = (
+        [pltpu.VMEM((n_state, s_blk, LANES), jnp.float32)] if early_exit else []
     )
 
     grid = (pix_tiles, s_tiles)
@@ -435,6 +495,7 @@ def render_block_pallas(
             whole((n_lights, 1)),
         ],
         out_specs=pl.BlockSpec((8, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
         out_shape=jax.ShapeDtypeStruct(
             (8, p_pad), jnp.float32,
             **({"vma": frozenset(vma)} if vma else {}),

@@ -81,3 +81,44 @@ def test_sample_chunk_offsets():
         interpret=True, **kw
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_early_exit_matches_straightline():
+    """The whole-tile early exit (VMEM scratch state + pl.when) must be a
+    pure scheduling change: bit-identical to the straight-line bounce loop,
+    including on a scene where most tiles die at depth 1 (env sphere)."""
+    sd = load_scene("scenes/demo2.yml")
+    scene = compile_scene(sd)
+    cam = camera_arrays(
+        sd.camera_settings, sd.camera_data, sd.output_settings.pixel_size
+    )
+    kw = dict(img_w=800, img_h=600, n_rows=2, n_samples=4, root=4, max_depth=5,
+              interpret=True)
+    a = render_block_pallas(
+        scene, cam, np.int32(0), np.uint32(0), np.uint32(3), early_exit=True, **kw
+    )
+    b = render_block_pallas(
+        scene, cam, np.int32(0), np.uint32(0), np.uint32(3), early_exit=False, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_early_exit_matches_straightline_nee():
+    from flux_tpu.ops.nee import extract_lights
+    from tests.test_nee import light_scene
+
+    sd = light_scene()
+    scene = compile_scene(sd)
+    cam = camera_arrays(
+        sd.camera_settings, sd.camera_data, sd.output_settings.pixel_size
+    )
+    lights = extract_lights(sd)
+    kw = dict(img_w=32, img_h=24, n_rows=8, n_samples=4, root=2, max_depth=3,
+              lights=lights, physical=True, interpret=True)
+    a = render_block_pallas(
+        scene, cam, np.int32(0), np.uint32(0), np.uint32(0), early_exit=True, **kw
+    )
+    b = render_block_pallas(
+        scene, cam, np.int32(0), np.uint32(0), np.uint32(0), early_exit=False, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
