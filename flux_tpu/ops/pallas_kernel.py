@@ -322,6 +322,7 @@ def _kernel(
         "with_stats",
         "physical",
         "early_exit",
+        "row_stride",
     ),
 )
 def render_block_pallas(
@@ -346,6 +347,7 @@ def render_block_pallas(
     lights=None,
     physical: bool = False,
     early_exit: bool = True,
+    row_stride: int = 1,
 ):
     """Drop-in replacement for render.render_block (same contract: radiance
     sums over sample indices [s0, s0+n_samples) for a row band).
@@ -358,8 +360,12 @@ def render_block_pallas(
     p_pad = pix_tiles * LANES
 
     # Host-side pixel→(row, col) tables (avoids in-kernel integer div).
+    # row_stride > 1 renders every row_stride-th row starting at row0 (the
+    # sharded renderer's interleaved row assignment; see render_block_impl).
     pix = jnp.arange(p_pad, dtype=jnp.int32)
-    rowcol = jnp.stack([jnp.int32(row0) + pix // img_w, pix % img_w])  # (2, p_pad)
+    rowcol = jnp.stack(
+        [jnp.int32(row0) + (pix // img_w) * np.int32(row_stride), pix % img_w]
+    )  # (2, p_pad)
 
     if s_limit is None:
         s_limit_v = jnp.uint32(s0) + jnp.uint32(n_samples)

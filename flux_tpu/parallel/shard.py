@@ -54,9 +54,12 @@ def sharded_unit_fn(
     """Build the jitted SPMD program that renders one work unit on ``mesh``.
 
     Returns ``fn(scene, cam, row0, seed) -> (n_rows_local * rows_shards,
-    img_w, 3)`` radiance sums over all root² samples.  ``backend`` selects
-    the per-device compute: the XLA wavefront or the Pallas megakernel
-    (ops/pallas_kernel.py) — collectives are identical either way.
+    img_w, 3)`` radiance sums over all root² samples, in SHARD order —
+    block ri holds shard ri's strided rows (row0 + ri + k·rows_shards);
+    callers de-interleave (see ``MeshRenderer.render_rows_sum``).
+    ``backend`` selects the per-device compute: the XLA wavefront or the
+    Pallas megakernel (ops/pallas_kernel.py) — collectives are identical
+    either way.
     """
     spp = root * root
     spp_shards = mesh.shape["spp"]
@@ -64,10 +67,20 @@ def sharded_unit_fn(
     chunk = max(1, min(chunk, per_dev))
     n_chunks = -(-per_dev // chunk)
 
+    rows_shards = mesh.shape["rows"]
+
     def device_fn(scene, cam, lights_v, row0, seed):
         ri = jax.lax.axis_index("rows")
         si = jax.lax.axis_index("spp")
-        my_row0 = jnp.int32(row0) + ri.astype(jnp.int32) * np.int32(n_rows_local)
+        # INTERLEAVED row assignment: shard ri renders rows row0 + ri,
+        # row0 + ri + R, ... (R = rows_shards) instead of a contiguous
+        # band. Per-row cost varies a lot (sky rows exit at depth 1 under
+        # the megakernel's early exit; geometry rows run all bounces), so
+        # striding decorrelates cost across shards — the static answer to
+        # the reference's dynamic pull queue (SURVEY.md §7 hard parts).
+        # Pixel values are assignment-independent (counter-based RNG), so
+        # this is invisible outside; the caller de-interleaves the output.
+        my_row0 = jnp.int32(row0) + ri.astype(jnp.int32)
         base_s0 = si.astype(jnp.uint32) * np.uint32(per_dev)
         # Mask overhang lanes: beyond this device's range (when chunking
         # overshoots per_dev) or beyond root² entirely (when spp_shards
@@ -94,6 +107,7 @@ def sharded_unit_fn(
                 accel=accel,
                 lights=lights_v,
                 physical=physical,
+                row_stride=rows_shards,
             )
             return jax.lax.psum(acc, "spp")
 
@@ -116,6 +130,7 @@ def sharded_unit_fn(
                 isect=Intersector(mode=accel),
                 lights=lights_v,
                 physical=physical,
+                row_stride=rows_shards,
             )
             return acc + part
 
@@ -231,7 +246,14 @@ class MeshRenderer:
         out = fn(
             self.scene, self.cam, self.lights, np.int32(row0), np.uint32(self.seed)
         )
-        return out[:n_rows]  # crop row padding from uneven 'rows' shards
+        # De-interleave the strided row assignment: the out_spec stacks
+        # shard blocks [ri, k] whose global row is row0 + ri + k·R; a
+        # (R, n_local) transpose restores image order. Then crop the
+        # padding rows from uneven 'rows' shards.
+        R = self.mesh.shape["rows"]
+        out = out.reshape(R, n_local, *out.shape[1:]).swapaxes(0, 1)
+        out = out.reshape(R * n_local, *out.shape[2:])
+        return out[:n_rows]
 
     def render_rows(self, row0: int, n_rows: int) -> np.ndarray:
         acc = self.render_rows_sum(row0, n_rows)

@@ -77,6 +77,7 @@ def render_block_impl(
     with_stats=False,
     lights=None,
     physical=False,
+    row_stride=1,
 ):
     """Radiance *sum* over sample indices [s0, s0+n_samples) for a row band.
 
@@ -93,7 +94,14 @@ def render_block_impl(
     if isect is None:
         isect = Intersector(mode="sweep")
     s_idx = (jnp.uint32(s0) + jnp.arange(n_samples, dtype=jnp.uint32))[:, None, None]
-    row = (jnp.int32(row0) + jnp.arange(n_rows, dtype=jnp.int32))[None, :, None]
+    # row_stride > 1 renders every row_stride-th row starting at row0 — the
+    # interleaved row assignment of the sharded renderer (parallel/shard.py),
+    # which decorrelates per-row cost across 'rows' shards (sky rows are far
+    # cheaper than geometry rows under the megakernel's early exit).
+    row = (
+        jnp.int32(row0)
+        + jnp.arange(n_rows, dtype=jnp.int32) * np.int32(row_stride)
+    )[None, :, None]
     col = jnp.arange(img_w, dtype=jnp.int32)[None, None, :]
 
     pixel_base = hash_combine(seed, row, col)  # (1, n_rows, img_w) uint32
@@ -197,6 +205,7 @@ render_block = jax.jit(
         "pvary_axes",
         "with_stats",
         "physical",
+        "row_stride",
     ),
 )
 

@@ -87,3 +87,29 @@ def test_sharded_pallas_backend_matches(devices8):
     mr = MeshRenderer(sd, 4, 4, seed=11, mesh=mesh, backend="pallas", interpret=True)
     got = mr.render_rows(0, 16)
     np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
+def test_interleaved_rows_shards_uneven(devices8):
+    """rows_shards=4 with a height not divisible by it: the interleaved
+    (strided) row assignment must de-interleave back to the exact
+    single-device image, padding rows cropped."""
+    from flux_tpu.parallel import MeshRenderer, make_mesh
+    from flux_tpu.render import Renderer
+    from tests.test_render import env_sphere, make_scene
+    from flux_tpu.scene import MaterialData, MaterialKind, PlaneData, SphereData
+
+    mat = MaterialData(kind=MaterialKind.MATTE, color=(0.6, 0.4, 0.3), param=1.0)
+    shapes = [
+        env_sphere(0.7),
+        SphereData(center=(0.0, 0.6, 0.0), radius=0.6, material=mat),
+        PlaneData(point=(0.0, 0.0, 0.0), normal=(0.0, 1.0, 0.0), material=mat),
+    ]
+    sd = make_scene(shapes, w=24, h=10)  # 10 rows, 4 shards -> n_local=3, pad 2
+    mesh = make_mesh(devices8, rows_shards=4)
+    mr = MeshRenderer(sd, sample_root=4, max_depth=3, seed=5, mesh=mesh)
+    single = Renderer(sd, sample_root=4, max_depth=3, seed=5)
+    import numpy as np
+
+    np.testing.assert_allclose(
+        mr.render_rows(0, 10), single.render_rows(0, 10), rtol=2e-5, atol=2e-5
+    )
