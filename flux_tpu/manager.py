@@ -427,21 +427,31 @@ class RenderManager:
 
             # Fault tolerance the reference lacks (it panics on a dead
             # worker, manager.rs:158-161): units lost to failed workers are
-            # re-dispatched once to the survivors.
+            # re-dispatched to the survivors. Retry rounds continue as long
+            # as each round makes strict progress (a persistently-failing
+            # worker can pull-and-lose a few units per round; the healthy
+            # workers still shrink the missing set every time), bounded so
+            # a zero-progress configuration terminates.
             missing = rnd.missing()
             rnd.close()
-            if missing and not cancel.is_set():
+            attempts = 0
+            while missing and not cancel.is_set():
                 d_println(
                     f"Render manager: retrying {len(missing)} lost work units"
                 )
-                rnd2 = self._dispatch_round(job, missing, cancel, tracker)
-                still_missing = rnd2.missing()
-                rnd2.close()
-                if still_missing and not cancel.is_set():
-                    # Don't let a hole in the image masquerade as success.
-                    raise RuntimeError(
-                        f"{len(still_missing)} work units lost after retry"
-                    )
+                rnd = self._dispatch_round(job, missing, cancel, tracker)
+                still_missing = rnd.missing()
+                rnd.close()
+                attempts += 1
+                no_progress = len(still_missing) >= len(missing)
+                missing = still_missing
+                if no_progress or attempts > len(self._workers) + 2:
+                    break
+            if missing and not cancel.is_set():
+                # Don't let a hole in the image masquerade as success.
+                raise RuntimeError(
+                    f"{len(missing)} work units lost after retry"
+                )
         finally:
             d_println("Render manager: all workers done")
             sink.put(

@@ -125,14 +125,15 @@ class LocalWorker:
                 # the reference would panic the whole process here
                 # (manager.rs:158-161). The failure goes into the event
                 # stream so remote masters hear about it (node.py forwards
-                # it as a job_error frame).
+                # it as a job_error frame). Deliberately do NOT drain the
+                # unit queue: the manager's SchedulerRound is pull-based
+                # (no producer to unblock), so stopping our pulls leaves
+                # every unclaimed unit for the surviving workers instead of
+                # discarding them into the retry round.
                 d_println(f"LocalWorker: job {job.id} failed: {e!r}")
                 try:
                     sink.put(JobFailed(reason=f"{type(e).__name__}: {e}"))
                 except Exception:
-                    pass
-                # Drain remaining units so the producer and barrier release.
-                while unit_queue.get() is not None:
                     pass
             finally:
                 wg.done()
@@ -196,23 +197,21 @@ class NetworkWorker:
                 self._run_job(job, unit_queue, sink)
             except _NodeJobError as e:
                 # Clean failure frame: the socket is still synchronized and
-                # the node sends no more rows for this job. Drain the queue
-                # so the barrier releases; the manager retries lost units.
+                # the node sends no more rows for this job. Stop pulling —
+                # unclaimed units stay in the round for surviving workers
+                # (SchedulerRound is pull-based; nothing needs draining).
                 d_println(f"NetworkWorker[{self.endpoint}]: node job error: {e}")
                 try:
                     wire.send_msg(self._sock, {"type": "done"})
                 except OSError:
                     self._handle.mark_dead()
-                while unit_queue.get() is not None:
-                    pass
             except Exception as e:
                 d_println(f"NetworkWorker[{self.endpoint}]: job failed: {e!r}")
                 # Any mid-protocol exception leaves the byte stream in an
                 # unknown state (stale frames would corrupt the next job);
-                # always retire the connection.
+                # always retire the connection. Unclaimed units stay in the
+                # round for surviving workers.
                 self._handle.mark_dead()
-                while unit_queue.get() is not None:
-                    pass
             finally:
                 wg.done()
                 if not self._handle.alive:

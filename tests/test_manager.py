@@ -177,3 +177,86 @@ def test_console_reporter_smoke(scene16, capsys):
     out = capsys.readouterr().out
     assert "scene: test" in out
     assert "image 16 x 12 pixels" in out
+
+
+class TestLostUnitRetry:
+    """Fault tolerance the reference lacks (it panics on a dead worker,
+    manager.rs:158-161): units lost to a failing worker are re-rendered by
+    the survivors, and a failing worker must never STEAL units — it stops
+    pulling instead of draining the shared round."""
+
+    class _FlakyRenderer:
+        """Renders the first `ok_units` units, then raises forever."""
+
+        def __init__(self, inner, ok_units):
+            self._inner = inner
+            self._left = ok_units
+
+        def render_rows(self, row0, n_rows):
+            if self._left <= 0:
+                raise RuntimeError("injected worker failure")
+            self._left -= 1
+            return self._inner.render_rows(row0, n_rows)
+
+    def _run(self, scene, workers, cfg=None):
+        from flux_tpu.manager import JobFailed
+
+        cfg = cfg or JobConfiguration(
+            sample_root=2, max_trace_depth=2, rows_per_work_unit=2, seed=7
+        )
+        manager = RenderManager([w.handle() for w in workers])
+        sink = queue.Queue()
+        builder = ImageBuilder(output_dir="/tmp", filename="retrytest.ppm")
+        job = manager.schedule_job(scene, cfg, MultiSink([sink, builder.sender()]))
+        assert job.wait(timeout=180)
+        builder.wait_finished(timeout=30)
+        img = builder.get_image()
+        events = drain(sink)
+        manager.stop()
+        builder.stop()
+        for w in workers:
+            w.stop()
+        return job, img, events
+
+    def test_survivors_rerender_lost_units(self, scene16):
+        from flux_tpu.manager import JobFailed
+
+        calls = {"n": 0}
+
+        def flaky_factory(job, self=self):
+            # Fails at the SECOND unit of every job it gets — so it poisons
+            # both the first round and any retry round it joins.
+            return self._FlakyRenderer(tiny_factory(job), ok_units=1)
+
+        flaky = LocalWorker(renderer_factory=flaky_factory, name="flaky")
+        good = LocalWorker(renderer_factory=tiny_factory, name="good")
+        job, img, events = self._run(scene16, [flaky, good])
+        assert job.ok, job.error
+        # The image must be complete and exactly equal a clean render.
+        ref = Renderer(scene16, sample_root=2, max_depth=2, seed=7).render_image()
+        assert img.complete()
+        np.testing.assert_array_equal(img.pixels, ref)
+        # The failure was reported into the event stream, not swallowed.
+        assert any(isinstance(e, JobFailed) for e in events)
+
+    def test_factory_failure_worker_plus_good_worker(self, scene16):
+        def broken_factory(job):
+            raise RuntimeError("cannot build renderer at all")
+
+        broken = LocalWorker(renderer_factory=broken_factory, name="broken")
+        good = LocalWorker(renderer_factory=tiny_factory, name="good")
+        job, img, _ = self._run(scene16, [broken, good])
+        assert job.ok, job.error
+        ref = Renderer(scene16, sample_root=2, max_depth=2, seed=7).render_image()
+        assert img.complete()
+        np.testing.assert_array_equal(img.pixels, ref)
+
+    def test_all_workers_failing_fails_the_job(self, scene16):
+        def broken_factory(job):
+            raise RuntimeError("cannot build renderer at all")
+
+        w1 = LocalWorker(renderer_factory=broken_factory, name="b1")
+        w2 = LocalWorker(renderer_factory=broken_factory, name="b2")
+        job, img, _ = self._run(scene16, [w1, w2])
+        assert not job.ok
+        assert "lost" in (job.error or "")
