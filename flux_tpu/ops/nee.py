@@ -10,10 +10,12 @@ every diffuse vertex, additionally sample one area light directly through a
 shadow ray, and suppress that light's emission on the next bounce so each
 transport path is counted exactly once.
 
-Estimator (one light ℓ picked uniformly from L lights, cone-sampled over
-the light's subtended solid angle Ω = 2π(1 − cosθ_max)):
+Estimator (one light ℓ picked with probability p_ℓ ∝ luminance·power·r²
+— power-proportional selection, so unequal light sets don't waste samples
+on dim lights — cone-sampled over the light's subtended solid angle
+Ω = 2π(1 − cosθ_max)):
 
-    L_direct = kd·cd · Ω/(2π) · V · L_e · L
+    L_direct = kd·cd · Ω/(2π) · V · L_e / p_ℓ
 
 This matches the REFERENCE's matte transport rather than textbook
 Lambertian: the reference draws uniform-hemisphere bounce directions
@@ -68,6 +70,11 @@ class LightArrays:
     radius: jnp.ndarray  # (L,)   f32
     emit: jnp.ndarray  # (L, 3)  f32 color × power
     shape_idx: jnp.ndarray  # (L,) i32 sphere index in the scene's shape order
+    # Power-proportional selection: pick[k] = probability of sampling light
+    # k (∝ luminance(emit)·radius², normalized); cdf[k] = sum(pick[:k]) —
+    # uniform picking wastes samples on dim lights in unequal-light scenes.
+    pick: jnp.ndarray = None  # (L,) f32
+    cdf: jnp.ndarray = None  # (L,) f32 exclusive prefix sum
 
     @property
     def num_lights(self) -> int:
@@ -100,11 +107,22 @@ def extract_lights(sd: SceneData):
         return None
     f32 = lambda a, shp: jnp.asarray(np.asarray(a, np.float32).reshape(shp))
     n = len(centers)
+    # Selection weights ∝ emitted power reaching the scene: luminance of
+    # (color × power) × surface area (∝ r²). Degenerate all-zero weights
+    # (black "lights") fall back to uniform.
+    e = np.asarray(emits, np.float32).reshape(n, 3)
+    lum = 0.2126 * e[:, 0] + 0.7152 * e[:, 1] + 0.0722 * e[:, 2]
+    w = lum * np.asarray(radii, np.float32) ** 2
+    total = float(w.sum())
+    pick = w / total if total > 0 else np.full(n, 1.0 / n, np.float32)
+    cdf = np.concatenate([[0.0], np.cumsum(pick)[:-1]]).astype(np.float32)
     return LightArrays(
         center=f32(centers, (n, 3)),
         radius=f32(radii, (n,)),
         emit=f32(emits, (n, 3)),
         shape_idx=jnp.asarray(np.asarray(idxs, np.int32)),
+        pick=f32(pick, (n,)),
+        cdf=f32(cdf, (n,)),
     )
 
 
@@ -121,9 +139,12 @@ def sample_light_dirs(lights: LightArrays, p: Vec3, ux, uy, upick):
     rule the intersection sweep uses (any-hit shadow rays need t_max).
     """
     nl = lights.num_lights
-    li = jnp.clip(
-        (jnp.asarray(upick) * np.float32(nl)).astype(jnp.int32), 0, nl - 1
-    )
+    upick = jnp.asarray(upick)
+    # Power-proportional pick: light k owns [cdf[k], cdf[k] + pick[k]); the
+    # cdf is monotone so the LAST k with upick >= cdf[k] wins.
+    li = jnp.zeros(upick.shape, jnp.int32)
+    for k in range(1, nl):
+        li = jnp.where(upick >= lights.cdf[k], np.int32(k), li)
     # Per-lane light record via a static select loop: light sets are tiny
     # and this form lowers cleanly everywhere (Mosaic has no cheap gather),
     # so the same code serves the XLA path and the megakernel.
@@ -131,6 +152,7 @@ def sample_light_dirs(lights: LightArrays, p: Vec3, ux, uy, upick):
     cx = jnp.zeros(shape, jnp.float32)
     cy, cz, rad = cx, cx, cx
     er, eg, eb = cx, cx, cx
+    pk = jnp.zeros(shape, jnp.float32)
     sidx = jnp.zeros(shape, jnp.int32)
     for k in range(nl):
         sel = li == k
@@ -141,6 +163,7 @@ def sample_light_dirs(lights: LightArrays, p: Vec3, ux, uy, upick):
         er = jnp.where(sel, lights.emit[k, 0], er)
         eg = jnp.where(sel, lights.emit[k, 1], eg)
         eb = jnp.where(sel, lights.emit[k, 2], eb)
+        pk = jnp.where(sel, lights.pick[k], pk)
         sidx = jnp.where(sel, lights.shape_idx[k], sidx)
     emit = (er, eg, eb)
 
@@ -166,8 +189,8 @@ def sample_light_dirs(lights: LightArrays, p: Vec3, ux, uy, upick):
         sin_a * (cp * u.z + sp * v.z) + cos_a * w.z,
     )
 
-    # weight = L_e * num_lights / pdf_cone; pdf_cone = 1/(2π(1−cos_max)).
-    wgt = _TWO_PI * (1.0 - cos_max) * np.float32(nl)
+    # weight = L_e / (pick_k · pdf_cone); pdf_cone = 1/(2π(1−cos_max)).
+    wgt = _TWO_PI * (1.0 - cos_max) / jnp.maximum(pk, 1e-12)
     wgt = jnp.where(inside, 0.0, wgt)
     weight = Vec3(emit[0] * wgt, emit[1] * wgt, emit[2] * wgt)
     pdf = 1.0 / jnp.maximum(wgt, 1e-20)
@@ -203,7 +226,7 @@ def nee_pdf_toward(lights: LightArrays, p: Vec3, shape_idx):
         sin2 = jnp.clip(r * r / jnp.maximum(dist2, 1e-12), 0.0, 1.0)
         cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
         omega = _TWO_PI * (1.0 - cos_max)
-        pdf_k = 1.0 / jnp.maximum(omega * np.float32(nl), 1e-20)
+        pdf_k = lights.pick[k] / jnp.maximum(omega, 1e-20)
         # Inside the light NEE cannot sample it at all.
         pdf_k = jnp.where(dist2 <= r * r, 0.0, pdf_k)
         pdf = jnp.where(sel, pdf_k, pdf)

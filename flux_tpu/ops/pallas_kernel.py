@@ -69,6 +69,8 @@ def _kernel(
     light_r_ref,  # (L, 1) f32 radii
     light_e_ref,  # (L, 3) f32 emission (color x power)
     light_i_ref,  # (L, 1) i32 sphere shape index
+    light_p_ref,  # (L, 1) f32 power-proportional pick probability
+    light_cdf_ref,  # (L, 1) f32 exclusive prefix sum of pick
     out_ref,  # (8, LANES) f32 block; rows 0..2 = rgb sums
     st_ref=None,  # (n_state, s_blk, LANES) f32 VMEM scratch (early_exit only)
     *,
@@ -154,6 +156,8 @@ def _kernel(
             radius=light_r_ref[:, 0],
             emit=light_e_ref[...],
             shape_idx=light_i_ref[:, 0],
+            pick=light_p_ref[:, 0],
+            cdf=light_cdf_ref[:, 0],
         )
 
     from .intersect import Intersector
@@ -447,11 +451,15 @@ def render_block_pallas(
         light_r = lights.radius.reshape(-1, 1)
         light_e = lights.emit
         light_i = lights.shape_idx.reshape(-1, 1)
+        light_p = lights.pick.reshape(-1, 1)
+        light_cdf = lights.cdf.reshape(-1, 1)
     else:  # dummies keep the kernel ABI fixed
         light_c = jnp.zeros((1, 3), jnp.float32)
         light_r = jnp.ones((1, 1), jnp.float32)
         light_e = jnp.zeros((1, 3), jnp.float32)
         light_i = jnp.zeros((1, 1), jnp.int32)
+        light_p = jnp.ones((1, 1), jnp.float32)
+        light_cdf = jnp.zeros((1, 1), jnp.float32)
     n_lights = light_c.shape[0]
 
     kern = functools.partial(
@@ -499,6 +507,8 @@ def render_block_pallas(
             whole((n_lights, 1)),
             whole((n_lights, 3)),
             whole((n_lights, 1)),
+            whole((n_lights, 1)),
+            whole((n_lights, 1)),
         ],
         out_specs=pl.BlockSpec((8, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
@@ -529,6 +539,8 @@ def render_block_pallas(
                 light_r,
                 light_e,
                 light_i,
+                light_p,
+                light_cdf,
             ),
         )
     )

@@ -260,3 +260,73 @@ class TestWirePropagation:
         assert job2.config.nee is True
         r = default_renderer_factory(job2)
         assert r.nee  # the node's renderer uses the job's estimator
+
+
+class TestPowerWeightedPick:
+    """NEE picks lights with probability ∝ luminance·power·r² instead of
+    uniformly — unequal light sets stop wasting half their shadow rays on
+    dim lights. Unbiasedness must hold (the 1/p_ℓ weight compensates)."""
+
+    def unequal_scene(self):
+        from flux_tpu.scene import CameraData, CameraSettings, OutputSettings
+
+        shapes = (
+            SphereData(  # bright main light
+                center=(-1.5, 3.0, 0.0), radius=0.4,
+                material=MaterialData(
+                    kind=MaterialKind.EMISSIVE, color=(1.0, 0.9, 0.8), param=60.0
+                ),
+            ),
+            SphereData(  # dim fill light, 100x less power
+                center=(1.5, 3.0, 0.0), radius=0.4,
+                material=MaterialData(
+                    kind=MaterialKind.EMISSIVE, color=(0.4, 0.5, 1.0), param=0.6
+                ),
+            ),
+            SphereData(
+                center=(0.0, 0.5, 0.0), radius=0.5,
+                material=MaterialData(
+                    kind=MaterialKind.MATTE, color=(0.7, 0.6, 0.5), param=1.0
+                ),
+            ),
+            PlaneData(
+                point=(0.0, 0.0, 0.0), normal=(0.0, 1.0, 0.0),
+                material=MaterialData(
+                    kind=MaterialKind.MATTE, color=(0.6, 0.6, 0.6), param=1.0
+                ),
+            ),
+        )
+        return SceneData(
+            scene_name="unequal",
+            output_settings=OutputSettings(image_width=32, image_height=24, pixel_size=16.0),
+            background=(0.0, 0.0, 0.0),
+            shapes=shapes,
+            camera_settings=CameraSettings(
+                eye=(0.0, 2.0, 7.0), look_at=(0.0, 1.0, 0.0), up=(0.0, 1.0, 0.0)
+            ),
+            camera_data=CameraData(
+                zoom_factor=1.0, view_plane_distance=500.0,
+                focal_distance=500.0, lens_radius=0.0,
+            ),
+        )
+
+    def test_pick_weights(self):
+        lights = extract_lights(self.unequal_scene())
+        pick = np.asarray(lights.pick)
+        assert pick.shape == (2,)
+        np.testing.assert_allclose(pick.sum(), 1.0, rtol=1e-6)
+        # 100x power ratio -> bright light gets ~99% of the picks.
+        assert pick[0] > 0.95 and pick[1] < 0.05
+        cdf = np.asarray(lights.cdf)
+        np.testing.assert_allclose(cdf, [0.0, pick[0]], rtol=1e-6)
+
+    def test_unbiased_on_unequal_lights(self):
+        sd = self.unequal_scene()
+        def img(root, nee, seed=0):
+            r = Renderer(sd, sample_root=root, max_depth=3, seed=seed, nee=nee,
+                         target_lanes=1 << 18)
+            return r.render_rows(0, 24)
+        a = img(8, True)
+        b = img(64, False, seed=9)
+        assert np.abs(a - b).mean() < 0.015, np.abs(a - b).mean()
+        assert abs(float(a.mean()) - float(b.mean())) < 0.008
