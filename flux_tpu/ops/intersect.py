@@ -37,7 +37,7 @@ from ..scene import SceneArrays
 from ..vec import Vec3
 from ..vec import where as vwhere
 
-__all__ = ["Hit", "Intersector", "intersect", "intersect_bvh", "intersect_scan", "intersect_scan_carry", "occluded_sweep", "occluded_scan"]
+__all__ = ["Hit", "Intersector", "ScanLayout", "scan_layout", "intersect", "intersect_bvh", "intersect_scan", "intersect_scan_carry", "occluded_sweep", "occluded_scan"]
 
 _T_MIN = np.float32(T_MIN)
 _INF = np.float32(np.inf)
@@ -254,6 +254,87 @@ def _plane_sweep(scene: SceneArrays, o: Vec3, d: Vec3):
 SCAN_BLOCK = 32
 
 
+class ScanLayout(NamedTuple):
+    """Spatially-sorted, SCAN_BLOCK-padded sphere layout shared by the XLA
+    scans and the megakernel. Sorting spheres along a Morton curve groups
+    spatial neighbors into the same block, making per-block AABBs tight —
+    which is what lets the megakernel skip whole blocks per tile (the
+    gather-free, Mosaic-friendly stand-in for a BVH). Pad entries have NaN
+    centers (can never test valid) and original-index -1."""
+
+    ctr: jnp.ndarray  # (n_blocks, SCAN_BLOCK, 3) f32
+    rad: jnp.ndarray  # (n_blocks, SCAN_BLOCK) f32
+    inv_r: jnp.ndarray  # (n_blocks, SCAN_BLOCK) f32  invert / radius
+    kind: jnp.ndarray  # (n_blocks, SCAN_BLOCK) i32
+    exp: jnp.ndarray  # (n_blocks, SCAN_BLOCK) f32
+    alb: jnp.ndarray  # (n_blocks, SCAN_BLOCK, 3) f32
+    idx: jnp.ndarray  # (n_blocks, SCAN_BLOCK) i32 original sphere index
+    bmin: jnp.ndarray  # (n_blocks, 3) f32 per-block AABB
+    bmax: jnp.ndarray  # (n_blocks, 3) f32
+
+    @property
+    def n_blocks(self) -> int:
+        return self.ctr.shape[0]
+
+
+def morton_order(centers: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3) -> (N,) i32 permutation sorting points along a Morton curve
+    (10 bits/axis). Traced: runs on-device inside jit, so the layout is a
+    pure function of the scene arrays."""
+    lo = jnp.min(centers, axis=0)
+    hi = jnp.max(centers, axis=0)
+    q = jnp.clip(
+        (centers - lo) / jnp.maximum(hi - lo, 1e-12) * 1023.0, 0.0, 1023.0
+    ).astype(jnp.uint32)
+
+    def spread(x):  # space bits 3 apart (standard 3-D Morton spreading)
+        x = (x | (x << 16)) & np.uint32(0x030000FF)
+        x = (x | (x << 8)) & np.uint32(0x0300F00F)
+        x = (x | (x << 4)) & np.uint32(0x030C30C3)
+        x = (x | (x << 2)) & np.uint32(0x09249249)
+        return x
+
+    code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    return jnp.argsort(code).astype(jnp.int32)
+
+
+def scan_layout(scene: SceneArrays) -> ScanLayout:
+    """Build the sorted/padded block layout (see :class:`ScanLayout`)."""
+    ns = scene.num_spheres
+    order = morton_order(scene.sphere_center)
+    ctr = jnp.take(scene.sphere_center, order, axis=0)
+    rad = jnp.take(scene.sphere_radius, order, axis=0)
+    inv_r = jnp.take(scene.sphere_invert / scene.sphere_radius, order, axis=0)
+    kind = jnp.take(scene.mat_kind[:ns], order, axis=0)
+    exp = jnp.take(scene.mat_exp[:ns], order, axis=0)
+    alb_tab = (scene.mat_color * scene.mat_param[:, None])[:ns]
+    alb = jnp.take(alb_tab, order, axis=0)
+
+    n_blocks = -(-ns // SCAN_BLOCK)
+    padn = n_blocks * SCAN_BLOCK - ns
+    f32 = jnp.float32
+
+    def pad(a, fill, tail=()):
+        return jnp.concatenate([a, jnp.full((padn,) + tail, fill, a.dtype)])
+
+    ctr = pad(ctr, np.nan, (3,)).reshape(n_blocks, SCAN_BLOCK, 3)
+    radp = pad(rad, 1.0).reshape(n_blocks, SCAN_BLOCK)
+    inv_rp = pad(inv_r, 1.0).reshape(n_blocks, SCAN_BLOCK)
+    kindp = pad(kind, 0).reshape(n_blocks, SCAN_BLOCK)
+    expp = pad(exp, 0.0).reshape(n_blocks, SCAN_BLOCK)
+    albp = pad(alb, 0.0, (3,)).reshape(n_blocks, SCAN_BLOCK, 3)
+    idxp = pad(order, -1).reshape(n_blocks, SCAN_BLOCK)
+
+    real = (idxp >= 0)[..., None]  # (n_blocks, SCAN_BLOCK, 1)
+    r3 = radp[..., None]
+    bmin = jnp.min(jnp.where(real, ctr - r3, jnp.inf), axis=1).astype(f32)
+    bmax = jnp.max(jnp.where(real, ctr + r3, -jnp.inf), axis=1).astype(f32)
+    return ScanLayout(
+        ctr=ctr, rad=radp, inv_r=inv_rp, kind=kindp, exp=expp, alb=albp,
+        idx=idxp, bmin=bmin, bmax=bmax,
+    )
+
+
 def intersect_scan(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
     """Nearest hit via a ``lax.scan`` over sphere blocks — the scaling form
     of the unrolled sweep.
@@ -270,33 +351,22 @@ def intersect_scan(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
     """
     import jax
 
-    ns = scene.num_spheres
-    batch = o.x.shape
-
     a = d.x * d.x + d.y * d.y + d.z * d.z
     inv_a = 1.0 / a
 
-    n_blocks = -(-ns // SCAN_BLOCK)
-    pad = n_blocks * SCAN_BLOCK - ns
-    # Padding spheres have NaN centers: every comparison involving them is
-    # false, so they can never win. (A huge finite center is NOT safe — the
-    # discriminant is a catastrophic cancellation of ~1e36 terms that can
-    # come out garbage-positive.)
-    ctr_pad = jnp.concatenate(
-        [scene.sphere_center, jnp.full((pad, 3), np.nan, jnp.float32)]
-    ).reshape(n_blocks, SCAN_BLOCK, 3)
-    rad_pad = jnp.concatenate(
-        [scene.sphere_radius, jnp.ones((pad,), jnp.float32)]
-    ).reshape(n_blocks, SCAN_BLOCK)
+    # Spatially-sorted, NaN-padded blocks (padding spheres can never test
+    # valid — a huge finite center is NOT safe, the discriminant is a
+    # catastrophic cancellation that can come out garbage-positive).
+    L = scan_layout(scene)
 
     def step(carry, blk):
         best_t, best_i = carry
-        ctr, rad, base = blk
+        ctr, rad, idx = blk
         for k in range(SCAN_BLOCK):
             t, valid = sphere_t(o, d, a, inv_a, ctr[k, 0], ctr[k, 1], ctr[k, 2], rad[k])
             cond = valid & (t < best_t)
             best_t = jnp.where(cond, t, best_t)
-            best_i = jnp.where(cond, base + np.int32(k), best_i)
+            best_i = jnp.where(cond, idx[k], best_i)
         return (best_t, best_i), None
 
     # Initialize the carry from arithmetic on o.x so it inherits o's
@@ -305,8 +375,7 @@ def intersect_scan(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
     zf = o.x * 0.0
     t0 = zf + _INF
     i0 = zf.astype(jnp.int32)
-    bases = (jnp.arange(n_blocks, dtype=jnp.int32) * np.int32(SCAN_BLOCK))
-    (best_t, best_i), _ = jax.lax.scan(step, (t0, i0), (ctr_pad, rad_pad, bases))
+    (best_t, best_i), _ = jax.lax.scan(step, (t0, i0), (L.ctr, L.rad, L.idx))
 
     pl_t, pl_j, pl_n = _plane_sweep(scene, o, d)
     use_plane = pl_t < best_t
@@ -326,43 +395,18 @@ def intersect_scan_carry(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
     """
     import jax
 
-    ns = scene.num_spheres
-    batch = o.x.shape
-    zeros = jnp.zeros(batch, jnp.float32)
-
     a = d.x * d.x + d.y * d.y + d.z * d.z
     inv_a = 1.0 / a
-
-    n_blocks = -(-ns // SCAN_BLOCK)
-    pad = n_blocks * SCAN_BLOCK - ns
-    ctr_pad = jnp.concatenate(
-        [scene.sphere_center, jnp.full((pad, 3), np.nan, jnp.float32)]
-    ).reshape(n_blocks, SCAN_BLOCK, 3)
-    rad_pad = jnp.concatenate(
-        [scene.sphere_radius, jnp.ones((pad,), jnp.float32)]
-    ).reshape(n_blocks, SCAN_BLOCK)
-    inv_r_pad = jnp.concatenate(
-        [scene.sphere_invert / scene.sphere_radius, jnp.ones((pad,), jnp.float32)]
-    ).reshape(n_blocks, SCAN_BLOCK)
-    zrow = jnp.zeros((pad,), jnp.float32)
-    kind_pad = jnp.concatenate(
-        [scene.mat_kind[:ns], jnp.zeros((pad,), jnp.int32)]
-    ).reshape(n_blocks, SCAN_BLOCK)
-    exp_pad = jnp.concatenate([scene.mat_exp[:ns], zrow]).reshape(n_blocks, SCAN_BLOCK)
-    alb_tab = scene.mat_color * scene.mat_param[:, None]
-    alb_pad = jnp.concatenate(
-        [alb_tab[:ns], jnp.zeros((pad, 3), jnp.float32)]
-    ).reshape(n_blocks, SCAN_BLOCK, 3)
+    L = scan_layout(scene)
 
     def step(carry, blk):
-        ctr, rad, inv_r_b, kind, exp, alb, base = blk
+        ctr, rad, inv_r_b, kind, exp, alb, idx = blk
         return (
-            fold_sphere_block(o, d, a, inv_a, carry, ctr, rad, inv_r_b, kind, exp, alb, base),
+            fold_sphere_block(o, d, a, inv_a, carry, ctr, rad, inv_r_b, kind, exp, alb, idx),
             None,
         )
 
-    bases = jnp.arange(n_blocks, dtype=jnp.int32) * np.int32(SCAN_BLOCK)
-    xs = (ctr_pad, rad_pad, inv_r_pad, kind_pad, exp_pad, alb_pad, bases)
+    xs = (L.ctr, L.rad, L.inv_r, L.kind, L.exp, L.alb, L.idx)
     carry, _ = jax.lax.scan(step, scan_carry_init(o.x), xs)
     return finish_scan_carry(scene, o, d, carry)
 
@@ -385,10 +429,12 @@ def scan_carry_init(like):
     )
 
 
-def fold_sphere_block(o, d, a, inv_a, carry, ctr, rad, inv_r_b, kind, exp, alb, base):
+def fold_sphere_block(o, d, a, inv_a, carry, ctr, rad, inv_r_b, kind, exp, alb, idx):
     """Fold one SCAN_BLOCK of spheres into the winner carry. ``ctr``/``alb``
-    are (SCAN_BLOCK, 3); the rest (SCAN_BLOCK,). Shared by the XLA scan and
-    the in-kernel (Pallas) fori_loop, which feed it from array xs and ref
+    are (SCAN_BLOCK, 3); the rest (SCAN_BLOCK,). ``idx`` carries each
+    entry's ORIGINAL sphere index (the block layout may be spatially
+    sorted; see :func:`scan_layout`). Shared by the XLA scan and the
+    in-kernel (Pallas) fori_loop, which feed it from array xs and ref
     slices respectively."""
     best_t, best_i, b_kind, b_exp, b_alb, b_ctr, b_inv_r = carry
     for k in range(SCAN_BLOCK):
@@ -396,7 +442,7 @@ def fold_sphere_block(o, d, a, inv_a, carry, ctr, rad, inv_r_b, kind, exp, alb, 
         t, valid = sphere_t(o, d, a, inv_a, cx, cy, cz, rad[k])
         cond = valid & (t < best_t)
         best_t = jnp.where(cond, t, best_t)
-        best_i = jnp.where(cond, base + np.int32(k), best_i)
+        best_i = jnp.where(cond, idx[k], best_i)
         b_kind = jnp.where(cond, kind[k], b_kind)
         b_exp = jnp.where(cond, exp[k], b_exp)
         b_alb = vwhere(cond, Vec3(alb[k, 0], alb[k, 1], alb[k, 2]), b_alb)
@@ -457,15 +503,15 @@ def _plane_occluded(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx, oc
     return occ
 
 
-def fold_occluded_block(o, d, a, inv_a, occ, ctr, rad, t_max, exclude_idx, base):
+def fold_occluded_block(o, d, a, inv_a, occ, ctr, rad, t_max, exclude_idx, idx):
     """Fold one SCAN_BLOCK of spheres into an any-hit occlusion mask —
     the shadow-ray sibling of :func:`fold_sphere_block`, with no winner
-    fold at all (an OR replaces ~11 selects per sphere)."""
+    fold at all (an OR replaces ~11 selects per sphere). ``idx`` carries
+    each entry's ORIGINAL sphere index (the block layout may be spatially
+    sorted; see :func:`scan_layout`)."""
     for k in range(SCAN_BLOCK):
         t, valid = sphere_t(o, d, a, inv_a, ctr[k, 0], ctr[k, 1], ctr[k, 2], rad[k])
-        occ = occ | (
-            valid & (t < t_max) & (exclude_idx != base + np.int32(k))
-        )
+        occ = occ | (valid & (t < t_max) & (exclude_idx != idx[k]))
     return occ
 
 
@@ -497,30 +543,19 @@ def occluded_scan(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx):
     size; carry is a single bool mask)."""
     import jax
 
-    ns = scene.num_spheres
     a = d.x * d.x + d.y * d.y + d.z * d.z
     inv_a = 1.0 / a
-
-    n_blocks = -(-ns // SCAN_BLOCK)
-    pad = n_blocks * SCAN_BLOCK - ns
-    # NaN-centered padding spheres can never test valid (see intersect_scan).
-    ctr_pad = jnp.concatenate(
-        [scene.sphere_center, jnp.full((pad, 3), np.nan, jnp.float32)]
-    ).reshape(n_blocks, SCAN_BLOCK, 3)
-    rad_pad = jnp.concatenate(
-        [scene.sphere_radius, jnp.ones((pad,), jnp.float32)]
-    ).reshape(n_blocks, SCAN_BLOCK)
+    L = scan_layout(scene)
 
     def step(occ, blk):
-        ctr, rad, base = blk
+        ctr, rad, idx = blk
         return (
-            fold_occluded_block(o, d, a, inv_a, occ, ctr, rad, t_max, exclude_idx, base),
+            fold_occluded_block(o, d, a, inv_a, occ, ctr, rad, t_max, exclude_idx, idx),
             None,
         )
 
     occ0 = (o.x * 0.0) > 0.0
-    bases = jnp.arange(n_blocks, dtype=jnp.int32) * np.int32(SCAN_BLOCK)
-    occ, _ = jax.lax.scan(step, occ0, (ctr_pad, rad_pad, bases))
+    occ, _ = jax.lax.scan(step, occ0, (L.ctr, L.rad, L.idx))
     return _plane_occluded(scene, o, d, t_max, exclude_idx, occ)
 
 

@@ -48,6 +48,16 @@ LANES = 128  # pixel axis
 S_BLK = 64  # default samples per kernel instance (sublane axis)
 
 
+def default_s_blk(accel: str, num_spheres: int) -> int:
+    """Samples-per-tile heuristic. Smaller tiles buy nothing on the fused
+    sweep (measured: 32/64/128 within noise on demo2) but make the scan's
+    block skip much finer-grained — fewer lanes per any-reduce means more
+    whole-block skips. Measured optima: 512 spheres → 32, 4096 → 16."""
+    if accel != "scan":
+        return S_BLK
+    return 32 if num_spheres <= 2048 else 16
+
+
 def _kernel(
     # SMEM scalars
     scalars_ref,  # (1, 4) int32: row0 (unused in-kernel), s0, seed, s_limit
@@ -71,9 +81,10 @@ def _kernel(
     light_i_ref,  # (L, 1) i32 sphere shape index
     light_p_ref,  # (L, 1) f32 power-proportional pick probability
     light_cdf_ref,  # (L, 1) f32 exclusive prefix sum of pick
+    sphere_idx_ref,  # (Ns, 1) i32 sorted-position -> original sphere index
+    aabb_ref,  # (n_blocks, 6) f32 SMEM per-block AABBs (scan mode)
     out_ref,  # (8, LANES) f32 block; rows 0..2 = rgb sums
-    st_ref=None,  # (n_state, s_blk, LANES) f32 VMEM scratch (early_exit only)
-    *,
+    *scratch,  # [st_ref when early_exit][scan_ref when scan skip]
     img_w: int,
     img_h: int,
     root: int,
@@ -84,8 +95,15 @@ def _kernel(
     nee: bool,
     physical: bool,
     early_exit: bool,
+    scan_skip: bool,
 ):
     j = pl.program_id(1)
+    si = 0
+    st_ref = None
+    if early_exit:
+        st_ref = scratch[si]
+        si += 1
+    scan_ref = scratch[si] if scan_skip else None
 
     @pl.when(j == 0)
     def _init():
@@ -167,11 +185,18 @@ def _kernel(
         # Blocked-scan intersection, in-kernel form: a fori_loop whose body
         # slices each SCAN_BLOCK of spheres straight out of the VMEM refs
         # (Mosaic's lax.scan can't carry extensive inputs, and dynamic
-        # slicing is a ref operation). The winner carry lives in
-        # VMEM/registers, so carrying the material record is free — the
-        # same fold the XLA path runs (ops/intersect.py fold_sphere_block).
+        # slicing is a ref operation). The refs hold the SPATIALLY-SORTED
+        # layout (ops/intersect.scan_layout): sphere_idx_ref maps entries
+        # back to original indices, sphere_i_ref carries the PRE-DIVIDED
+        # invert/radius, mat rows are pre-multiplied color×param with
+        # param 1, and aabb_ref holds per-block bounds. With ``scan_skip``
+        # the winner carry lives in a VMEM scratch mutated under
+        # ``pl.when``: a block whose AABB no live lane's ray enters is
+        # skipped entirely — the gather-free, Mosaic-friendly stand-in for
+        # a BVH (tiles are 128 contiguous pixels, so rays are coherent).
         from ..ops.intersect import (
             SCAN_BLOCK,
+            _T_MIN,
             _plane_occluded,
             finish_scan_carry,
             fold_occluded_block,
@@ -181,50 +206,150 @@ def _kernel(
 
         n_sph_pad = sphere_c_ref.shape[0]
         assert n_sph_pad % SCAN_BLOCK == 0, "host prep pads to SCAN_BLOCK"
+        n_blocks = n_sph_pad // SCAN_BLOCK
+
+        def _alive_mask():
+            # Lanes alive entering the current bounce (early-exit scratch
+            # holds the pre-bounce state; it is written before depth 1).
+            return (st_ref[12, :, :] > 0.0) if st_ref is not None else None
+
+        def _block_hit(i, o, d, inv_dx, inv_dy, inv_dz, need):
+            """True iff any needed lane's ray enters block i's AABB (slab
+            test, IEEE inf/NaN semantics as in ops/aabb.py)."""
+            lox, loy, loz = aabb_ref[i, 0], aabb_ref[i, 1], aabb_ref[i, 2]
+            hix, hiy, hiz = aabb_ref[i, 3], aabb_ref[i, 4], aabb_ref[i, 5]
+            tx0 = (lox - o.x) * inv_dx
+            tx1 = (hix - o.x) * inv_dx
+            ty0 = (loy - o.y) * inv_dy
+            ty1 = (hiy - o.y) * inv_dy
+            tz0 = (loz - o.z) * inv_dz
+            tz1 = (hiz - o.z) * inv_dz
+            t0 = jnp.maximum(
+                jnp.minimum(tx0, tx1),
+                jnp.maximum(jnp.minimum(ty0, ty1), jnp.minimum(tz0, tz1)),
+            )
+            t1 = jnp.minimum(
+                jnp.maximum(tx0, tx1),
+                jnp.minimum(jnp.maximum(ty0, ty1), jnp.maximum(tz0, tz1)),
+            )
+            hit = (t0 <= t1) & (t1 > _T_MIN)
+            if need is not None:
+                hit &= need
+            return jnp.any(hit)
+
+        def _slice_block(start):
+            ctr = sphere_c_ref[pl.ds(start, SCAN_BLOCK), :]
+            rad = sphere_r_ref[pl.ds(start, SCAN_BLOCK), 0]
+            inv_r_b = sphere_i_ref[pl.ds(start, SCAN_BLOCK), 0]  # pre-divided
+            kind = mat_kind_ref[pl.ds(start, SCAN_BLOCK), 0]
+            exp = mat_exp_ref[pl.ds(start, SCAN_BLOCK), 0]
+            alb = (
+                mat_color_ref[pl.ds(start, SCAN_BLOCK), :]
+                * mat_param_ref[pl.ds(start, SCAN_BLOCK), 0][:, None]
+            )
+            idx = sphere_idx_ref[pl.ds(start, SCAN_BLOCK), 0]
+            return ctr, rad, inv_r_b, kind, exp, alb, idx
+
+        def _write_carry(c):
+            best_t, best_i, kind, exp, alb, ctr, inv_r = c
+            vals = [
+                best_t, best_i.astype(jnp.float32), kind.astype(jnp.float32),
+                exp, alb.x, alb.y, alb.z, ctr.x, ctr.y, ctr.z, inv_r,
+            ]
+            for k, v in enumerate(vals):
+                scan_ref[k, :, :] = v
+
+        def _read_carry():
+            g = lambda k: scan_ref[k, :, :]
+            return (
+                g(0), g(1).astype(jnp.int32), g(2).astype(jnp.int32), g(3),
+                Vec3(g(4), g(5), g(6)), Vec3(g(7), g(8), g(9)), g(10),
+            )
 
         def intersect_fn(scene_v, o, d):
             a = d.x * d.x + d.y * d.y + d.z * d.z
             inv_a = 1.0 / a
 
+            if scan_skip:
+                inv_dx, inv_dy, inv_dz = 1.0 / d.x, 1.0 / d.y, 1.0 / d.z
+                need = _alive_mask()
+                _write_carry(scan_carry_init(o.x))
+
+                def body(i, _):
+                    @pl.when(_block_hit(i, o, d, inv_dx, inv_dy, inv_dz, need))
+                    def _fold():
+                        ctr, rad, inv_r_b, kind, exp, alb, idx = _slice_block(
+                            i * SCAN_BLOCK
+                        )
+                        _write_carry(
+                            fold_sphere_block(
+                                o, d, a, inv_a, _read_carry(),
+                                ctr, rad, inv_r_b, kind, exp, alb, idx,
+                            )
+                        )
+
+                    return _
+
+                jax.lax.fori_loop(0, n_blocks, body, jnp.int32(0))
+                return finish_scan_carry(scene_v, o, d, _read_carry())
+
             def body(i, carry):
-                start = i * SCAN_BLOCK
-                ctr = sphere_c_ref[pl.ds(start, SCAN_BLOCK), :]
-                rad = sphere_r_ref[pl.ds(start, SCAN_BLOCK), 0]
-                inv_r_b = sphere_i_ref[pl.ds(start, SCAN_BLOCK), 0] / rad
-                kind = mat_kind_ref[pl.ds(start, SCAN_BLOCK), 0]
-                exp = mat_exp_ref[pl.ds(start, SCAN_BLOCK), 0]
-                alb = (
-                    mat_color_ref[pl.ds(start, SCAN_BLOCK), :]
-                    * mat_param_ref[pl.ds(start, SCAN_BLOCK), 0][:, None]
+                ctr, rad, inv_r_b, kind, exp, alb, idx = _slice_block(
+                    i * SCAN_BLOCK
                 )
-                base = start.astype(jnp.int32)
                 return fold_sphere_block(
-                    o, d, a, inv_a, carry, ctr, rad, inv_r_b, kind, exp, alb, base
+                    o, d, a, inv_a, carry, ctr, rad, inv_r_b, kind, exp, alb, idx
                 )
 
-            carry = jax.lax.fori_loop(
-                0, n_sph_pad // SCAN_BLOCK, body, scan_carry_init(o.x)
-            )
+            carry = jax.lax.fori_loop(0, n_blocks, body, scan_carry_init(o.x))
             return finish_scan_carry(scene_v, o, d, carry)
 
         def _occluded_fn(scene_v, o, d, t_max, exclude_idx):
             # Any-hit shadow test, in-kernel blocked form (see
             # intersect.occluded_scan — same fold, ref slices for blocks).
+            # The AABB skip additionally drops blocks no not-yet-occluded
+            # lane's shadow ray enters (occ carried in row 11 of the
+            # scratch as f32 0/1).
             a = d.x * d.x + d.y * d.y + d.z * d.z
             inv_a = 1.0 / a
 
-            def body(i, occ):
-                start = i * SCAN_BLOCK
+            def occ_slice(start):
                 ctr = sphere_c_ref[pl.ds(start, SCAN_BLOCK), :]
                 rad = sphere_r_ref[pl.ds(start, SCAN_BLOCK), 0]
+                idx = sphere_idx_ref[pl.ds(start, SCAN_BLOCK), 0]
+                return ctr, rad, idx
+
+            if scan_skip:
+                inv_dx, inv_dy, inv_dz = 1.0 / d.x, 1.0 / d.y, 1.0 / d.z
+                alive = _alive_mask()
+                scan_ref[11, :, :] = jnp.zeros((s_blk, LANES), jnp.float32)
+
+                def body(i, _):
+                    occ_now = scan_ref[11, :, :] > 0.0
+                    need = ~occ_now if alive is None else (alive & ~occ_now)
+
+                    @pl.when(_block_hit(i, o, d, inv_dx, inv_dy, inv_dz, need))
+                    def _fold():
+                        ctr, rad, idx = occ_slice(i * SCAN_BLOCK)
+                        occ2 = fold_occluded_block(
+                            o, d, a, inv_a, scan_ref[11, :, :] > 0.0,
+                            ctr, rad, t_max, exclude_idx, idx,
+                        )
+                        scan_ref[11, :, :] = occ2.astype(jnp.float32)
+
+                    return _
+
+                jax.lax.fori_loop(0, n_blocks, body, jnp.int32(0))
+                occ = scan_ref[11, :, :] > 0.0
+                return _plane_occluded(scene_v, o, d, t_max, exclude_idx, occ)
+
+            def body(i, occ):
+                ctr, rad, idx = occ_slice(i * SCAN_BLOCK)
                 return fold_occluded_block(
-                    o, d, a, inv_a, occ, ctr, rad, t_max, exclude_idx,
-                    start.astype(jnp.int32),
+                    o, d, a, inv_a, occ, ctr, rad, t_max, exclude_idx, idx
                 )
 
-            occ = jax.lax.fori_loop(
-                0, n_sph_pad // SCAN_BLOCK, body, (o.x * 0.0) > 0.0
-            )
+            occ = jax.lax.fori_loop(0, n_blocks, body, (o.x * 0.0) > 0.0)
             return _plane_occluded(scene_v, o, d, t_max, exclude_idx, occ)
 
         intersect_fn.occluded = _occluded_fn
@@ -287,8 +412,12 @@ def _kernel(
                 prev_pdf=g(14) if nee else None,
             )
 
+        # The initial state is written first so the scan skip's alive mask
+        # (st_ref[12]) is valid during the depth-1 bounce too — it then
+        # also excludes the s_limit-padded lanes from block-AABB tests.
+        write_state(state)
         # Depth 1 runs unconditionally (every lane starts alive).
-        write_state(make_step(1)(state))
+        write_state(make_step(1)(read_state()))
         for depth in range(2, max_depth + 1):
 
             @pl.when(jnp.any(st_ref[12, :, :] > 0.0))
@@ -326,6 +455,7 @@ def _kernel(
         "with_stats",
         "physical",
         "early_exit",
+        "scan_skip",
         "row_stride",
     ),
 )
@@ -351,6 +481,7 @@ def render_block_pallas(
     lights=None,
     physical: bool = False,
     early_exit: bool = True,
+    scan_skip: bool = True,
     row_stride: int = 1,
 ):
     """Drop-in replacement for render.render_block (same contract: radiance
@@ -397,26 +528,57 @@ def render_block_pallas(
     # SCAN_BLOCK multiple so the in-kernel fori_loop has no ragged tail.
     n_sph_real = scene.num_spheres
     if accel == "scan":
-        from .intersect import SCAN_BLOCK
+        from .intersect import SCAN_BLOCK, scan_layout
 
-        target_ns = max(SCAN_BLOCK, -(-n_sph_real // SCAN_BLOCK) * SCAN_BLOCK)
+        # Spatially-sorted blocked layout shared with the XLA scans: the
+        # sphere refs hold the SORTED order, sphere_idx maps entries back
+        # to original indices (hit.shape / NEE light matching), the
+        # per-block AABBs drive the whole-block skip, sphere_invert
+        # carries the PRE-DIVIDED invert/radius (bit-identical to the XLA
+        # fold), and sphere mat rows are pre-multiplied color×param with
+        # param 1. Padding entries have NaN centers (never test valid).
+        L = scan_layout(scene)
+        target_ns = L.n_blocks * SCAN_BLOCK
+        sphere_center = L.ctr.reshape(target_ns, 3)
+        sphere_radius = L.rad.reshape(target_ns)
+        sphere_invert = L.inv_r.reshape(target_ns)
+        sphere_idx = L.idx.reshape(target_ns, 1)
+        scan_aabb = jnp.concatenate([L.bmin, L.bmax], axis=1)  # (n_blocks, 6)
+        sph_kind = L.kind.reshape(target_ns)
+        sph_exp = L.exp.reshape(target_ns)
+        sph_color = L.alb.reshape(target_ns, 3)
+        sph_param = jnp.ones((target_ns,), jnp.float32)
     else:
         target_ns = max(n_sph_real, 1)
-    sph_mats = target_ns - n_sph_real
-    if sph_mats:
-        sphere_center = jnp.concatenate(
-            [scene.sphere_center, jnp.full((sph_mats, 3), np.nan, jnp.float32)]
-        )
-        sphere_radius = jnp.concatenate(
-            [scene.sphere_radius, jnp.ones((sph_mats,), jnp.float32)]
-        )
-        sphere_invert = jnp.concatenate(
-            [scene.sphere_invert, jnp.ones((sph_mats,), jnp.float32)]
-        )
-    else:
-        sphere_center = scene.sphere_center
-        sphere_radius = scene.sphere_radius
-        sphere_invert = scene.sphere_invert
+        sph_mats = target_ns - n_sph_real
+        if sph_mats:
+            sphere_center = jnp.concatenate(
+                [scene.sphere_center, jnp.full((sph_mats, 3), np.nan, jnp.float32)]
+            )
+            sphere_radius = jnp.concatenate(
+                [scene.sphere_radius, jnp.ones((sph_mats,), jnp.float32)]
+            )
+            sphere_invert = jnp.concatenate(
+                [scene.sphere_invert, jnp.ones((sph_mats,), jnp.float32)]
+            )
+        else:
+            sphere_center = scene.sphere_center
+            sphere_radius = scene.sphere_radius
+            sphere_invert = scene.sphere_invert
+        sphere_idx = jnp.zeros((1, 1), jnp.int32)  # dummy (sweep needs none)
+        scan_aabb = jnp.zeros((1, 6), jnp.float32)
+
+        def pad0(a, tail=()):
+            if not sph_mats:
+                return a
+            return jnp.concatenate(
+                [a, jnp.zeros((sph_mats,) + tail, a.dtype)], axis=0
+            )
+
+        sph_kind = pad0(scene.mat_kind[:n_sph_real])
+        sph_exp = pad0(scene.mat_exp[:n_sph_real])
+        sph_color = pad0(scene.mat_color[:n_sph_real], (3,))
+        sph_param = pad0(scene.mat_param[:n_sph_real])
     if scene.num_planes == 0:
         plane_point = jnp.zeros((1, 3), jnp.float32)
         plane_normal = jnp.zeros((1, 3), jnp.float32)
@@ -428,22 +590,20 @@ def render_block_pallas(
 
     ns = sphere_center.shape[0]
     npl_ = plane_point.shape[0]
+    n_blocks_aabb = scan_aabb.shape[0]
 
-    def pad_mats(a, fill_shape_tail=()):
-        """Insert zero material rows matching the fake shapes: ``sph_mats``
-        rows after the real sphere mats, one at the end for a fake plane."""
-        parts = [a[:n_sph_real]]
-        if sph_mats:
-            parts.append(jnp.zeros((sph_mats,) + fill_shape_tail, a.dtype))
-        parts.append(a[n_sph_real:])
+    def mats(sph_rows, plane_rows, fill_shape_tail=()):
+        """Sphere mat rows (already padded/ordered), then plane rows, then
+        one zero row for the fake plane when the scene has none."""
+        parts = [sph_rows, plane_rows]
         if pl_mats:
-            parts.append(jnp.zeros((1,) + fill_shape_tail, a.dtype))
+            parts.append(jnp.zeros((1,) + fill_shape_tail, sph_rows.dtype))
         return jnp.concatenate(parts, axis=0)
 
-    mat_kind = pad_mats(scene.mat_kind)
-    mat_color = pad_mats(scene.mat_color, (3,))
-    mat_param = pad_mats(scene.mat_param)
-    mat_exp = pad_mats(scene.mat_exp)
+    mat_kind = mats(sph_kind, scene.mat_kind[n_sph_real:])
+    mat_color = mats(sph_color, scene.mat_color[n_sph_real:], (3,))
+    mat_param = mats(sph_param, scene.mat_param[n_sph_real:])
+    mat_exp = mats(sph_exp, scene.mat_exp[n_sph_real:])
 
     nee = lights is not None
     if nee:
@@ -462,15 +622,20 @@ def render_block_pallas(
         light_cdf = jnp.zeros((1, 1), jnp.float32)
     n_lights = light_c.shape[0]
 
+    scan_skip = bool(scan_skip and accel == "scan")
     kern = functools.partial(
         _kernel, img_w=img_w, img_h=img_h, root=root, max_depth=max_depth,
         s_blk=s_blk, accel=accel, with_stats=with_stats, nee=nee,
-        physical=physical, early_exit=early_exit,
+        physical=physical, early_exit=early_exit, scan_skip=scan_skip,
     )
     n_state = 15 if nee else 13
     scratch = (
         [pltpu.VMEM((n_state, s_blk, LANES), jnp.float32)] if early_exit else []
     )
+    if scan_skip:
+        # 11 winner-carry rows + 1 occlusion row (see the kernel's scan
+        # closures); ints ride as f32 (exact below 2^24).
+        scratch.append(pltpu.VMEM((12, s_blk, LANES), jnp.float32))
 
     grid = (pix_tiles, s_tiles)
     smem = lambda shp: pl.BlockSpec(shp, lambda i, j: (0, 0), memory_space=pltpu.SMEM)
@@ -509,6 +674,8 @@ def render_block_pallas(
             whole((n_lights, 1)),
             whole((n_lights, 1)),
             whole((n_lights, 1)),
+            whole((sphere_idx.shape[0], 1)),
+            smem((n_blocks_aabb, 6)),
         ],
         out_specs=pl.BlockSpec((8, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
@@ -541,6 +708,8 @@ def render_block_pallas(
                 light_i,
                 light_p,
                 light_cdf,
+                sphere_idx,
+                scan_aabb,
             ),
         )
     )

@@ -88,7 +88,7 @@ def sharded_unit_fn(
         s_limit = jnp.minimum(base_s0 + np.uint32(per_dev), np.uint32(spp))
 
         if backend == "pallas":
-            from ..ops.pallas_kernel import render_block_pallas
+            from ..ops.pallas_kernel import default_s_blk, render_block_pallas
 
             acc = render_block_pallas(
                 scene,
@@ -105,6 +105,7 @@ def sharded_unit_fn(
                 s_limit=s_limit,
                 interpret=interpret,
                 accel=accel,
+                s_blk=default_s_blk(accel, scene.num_spheres),
                 lights=lights_v,
                 physical=physical,
                 row_stride=rows_shards,

@@ -345,7 +345,7 @@ class Renderer:
         if self.backend == "pallas":
             # The megakernel never materializes per-lane state in HBM, so a
             # whole band at full sample depth is one launch.
-            from .ops.pallas_kernel import render_block_pallas
+            from .ops.pallas_kernel import default_s_blk, render_block_pallas
 
             return render_block_pallas(
                 self.scene,
@@ -360,6 +360,7 @@ class Renderer:
                 root=self.root,
                 max_depth=self.max_depth,
                 accel=self.accel,
+                s_blk=default_s_blk(self.accel, self.scene.num_spheres),
                 with_stats=with_stats,
                 lights=self.lights,
                 physical=self.physical,

@@ -218,19 +218,35 @@ class TestLostUnitRetry:
             w.stop()
         return job, img, events
 
+    class _SlowRenderer:
+        """Delays each unit so the other (flaky) worker deterministically
+        participates in every dispatch round instead of racing to zero."""
+
+        def __init__(self, inner, delay=0.02):
+            self._inner = inner
+            self._delay = delay
+
+        def render_rows(self, row0, n_rows):
+            time.sleep(self._delay)
+            return self._inner.render_rows(row0, n_rows)
+
     def test_survivors_rerender_lost_units(self, scene16):
         from flux_tpu.manager import JobFailed
-
-        calls = {"n": 0}
 
         def flaky_factory(job, self=self):
             # Fails at the SECOND unit of every job it gets — so it poisons
             # both the first round and any retry round it joins.
             return self._FlakyRenderer(tiny_factory(job), ok_units=1)
 
+        def slow_factory(job, self=self):
+            return self._SlowRenderer(tiny_factory(job))
+
         flaky = LocalWorker(renderer_factory=flaky_factory, name="flaky")
-        good = LocalWorker(renderer_factory=tiny_factory, name="good")
-        job, img, events = self._run(scene16, [flaky, good])
+        good = LocalWorker(renderer_factory=slow_factory, name="good")
+        cfg = JobConfiguration(
+            sample_root=2, max_trace_depth=2, rows_per_work_unit=1, seed=7
+        )
+        job, img, events = self._run(scene16, [flaky, good], cfg=cfg)
         assert job.ok, job.error
         # The image must be complete and exactly equal a clean render.
         ref = Renderer(scene16, sample_root=2, max_depth=2, seed=7).render_image()

@@ -122,3 +122,50 @@ def test_early_exit_matches_straightline_nee():
         scene, cam, np.int32(0), np.uint32(0), np.uint32(0), early_exit=False, **kw
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scan_skip_matches_unskipped():
+    """The per-block AABB skip must be a pure scheduling change: skipped
+    blocks are exactly those no live lane's ray enters, so the winner fold
+    is untouched — bit-identical output with the skip on or off."""
+    from flux_tpu.genscene import sphere_field
+
+    sd = sphere_field(70, 4, width=40, height=24)
+    scene = compile_scene(sd)
+    cam = camera_arrays(
+        sd.camera_settings, sd.camera_data, sd.output_settings.pixel_size
+    )
+    kw = dict(img_w=40, img_h=24, n_rows=24, n_samples=4, root=2, max_depth=3,
+              accel="scan", interpret=True)
+    a = render_block_pallas(
+        scene, cam, np.int32(0), np.uint32(0), np.uint32(3), scan_skip=True, **kw
+    )
+    b = render_block_pallas(
+        scene, cam, np.int32(0), np.uint32(0), np.uint32(3), scan_skip=False, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scan_skip_nee_matches_unskipped():
+    from flux_tpu.ops.nee import extract_lights
+    from flux_tpu.genscene import sphere_field
+
+    sd = sphere_field(70, 4, width=32, height=16)
+    scene = compile_scene(sd)
+    cam = camera_arrays(
+        sd.camera_settings, sd.camera_data, sd.output_settings.pixel_size
+    )
+    lights = extract_lights(sd)
+    if lights is None:
+        import pytest
+
+        pytest.skip("generated field has no lights")
+    kw = dict(img_w=32, img_h=16, n_rows=16, n_samples=4, root=2, max_depth=3,
+              accel="scan", lights=lights, interpret=True)
+    a = render_block_pallas(
+        scene, cam, np.int32(0), np.uint32(0), np.uint32(1), scan_skip=True, **kw
+    )
+    b = render_block_pallas(
+        scene, cam, np.int32(0), np.uint32(0), np.uint32(1), scan_skip=False, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
