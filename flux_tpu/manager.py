@@ -328,7 +328,12 @@ class ImageBuilder:
 class _CompletionTracker:
     """Pass-through sink feeding the scheduler round's completion ledger —
     the bookkeeping behind lost-unit retry. ``round`` is swapped by the
-    manager as dispatch rounds begin."""
+    manager as dispatch rounds begin.
+
+    A unit only counts as complete when the result actually contains its
+    full row band: a short block (e.g. from a buggy or dying node) must
+    leave the unit in the missing set for retry, not punch a silent hole
+    in a "successful" image."""
 
     def __init__(self, sink):
         self._sink = sink
@@ -336,7 +341,9 @@ class _CompletionTracker:
 
     def put(self, ev) -> None:
         if isinstance(ev, RowsReady) and self.round is not None:
-            self.round.complete_row(ev.result.work_unit.row_start)
+            unit = ev.result.work_unit
+            if np.shape(ev.result.rows)[0] == unit.num_rows:
+                self.round.complete_row(unit.row_start)
         self._sink.put(ev)
 
 

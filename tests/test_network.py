@@ -270,3 +270,136 @@ def test_wire_rows_compression_roundtrip():
     noise = rng.random((4, 64, 3), dtype=np.float32)
     msg2 = wire.encode_rows(0, noise)
     np.testing.assert_array_equal(wire.decode_rows(msg2), noise)
+
+
+def test_node_death_mid_render_survivor_completes(tmp_path):
+    """A node that DIES mid-job (connection dropped, not a clean job_error
+    frame) must not sink the job: the master marks the worker dead, the
+    local survivor finishes the frame, and the retry round re-renders the
+    units the dead node had pulled. The reference's master would panic
+    (manager.rs:158-161) or block forever on the socket."""
+    import time as _time
+
+    from flux_tpu.job import Job
+
+    sd = make_scene([env_sphere(0.5)], w=16, h=24)
+    cfg = JobConfiguration(
+        sample_root=2, max_trace_depth=2, rows_per_work_unit=2, seed=4
+    )
+
+    port = free_port()
+    ready = threading.Event()
+
+    def fake_node():
+        """Speaks the wire protocol: handshake, one rendered unit, then
+        drops the connection with a second unit in flight."""
+        srv = socket.socket()
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", port))
+        srv.listen(1)
+        ready.set()
+        conn, _ = srv.accept()
+        wire.send_msg(
+            conn, {"type": "worker_info", "num_devices": 1, "platform": "cpu"}
+        )
+        job = Job.from_dict(wire.recv_msg(conn)["job"])
+        r = tiny_factory(job)
+        u = wire.recv_msg(conn)  # first primed unit
+        rows = r.render_rows(u["row_start"], u["row_end"] - u["row_start"] + 1)
+        wire.send_msg(conn, wire.encode_rows(u["row_start"], rows))
+        wire.recv_msg(conn)  # second unit arrives ...
+        conn.close()  # ... and the node dies without answering
+        srv.close()
+
+    threading.Thread(target=fake_node, daemon=True).start()
+    assert ready.wait(timeout=10)
+
+    class Slow:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def render_rows(self, row0, n_rows):
+            _time.sleep(0.02)
+            return self._inner.render_rows(row0, n_rows)
+
+    net = NetworkWorker(f"127.0.0.1:{port}")
+    local = LocalWorker(renderer_factory=lambda job: Slow(tiny_factory(job)))
+    manager = RenderManager([net.handle(), local.handle()])
+    builder = ImageBuilder(output_dir=str(tmp_path))
+    handle = manager.schedule_job(sd, cfg, builder.sender())
+    assert handle.wait(timeout=180)
+    assert handle.ok, handle.error
+    assert builder.wait_finished(timeout=60)
+    img = builder.get_image()
+    assert img.complete()
+    ref = Renderer(sd, 2, 2, seed=4, target_lanes=1 << 16).render_image()
+    np.testing.assert_array_equal(img.pixels, ref)
+    assert not net.handle().alive  # the dead link was retired
+
+    manager.stop()
+    local.stop()
+
+
+def test_short_result_block_is_retried_not_a_hole(tmp_path):
+    """A node that returns FEWER rows than the unit asked for (buggy or
+    dying mid-serialization) must not punch a silent hole in a job that
+    reports success: the completion ledger only counts full blocks, so the
+    unit lands in the retry round and the survivor re-renders it."""
+    import time as _time
+
+    from flux_tpu.job import Job
+
+    sd = make_scene([env_sphere(0.5)], w=16, h=24)
+    cfg = JobConfiguration(
+        sample_root=2, max_trace_depth=2, rows_per_work_unit=2, seed=4
+    )
+
+    port = free_port()
+    ready = threading.Event()
+
+    def short_node():
+        srv = socket.socket()
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", port))
+        srv.listen(1)
+        ready.set()
+        conn, _ = srv.accept()
+        wire.send_msg(
+            conn, {"type": "worker_info", "num_devices": 1, "platform": "cpu"}
+        )
+        job = Job.from_dict(wire.recv_msg(conn)["job"])
+        r = tiny_factory(job)
+        u = wire.recv_msg(conn)
+        # Render only HALF the band, then die with a unit in flight.
+        rows = r.render_rows(u["row_start"], 1)
+        wire.send_msg(conn, wire.encode_rows(u["row_start"], rows))
+        wire.recv_msg(conn)
+        conn.close()
+        srv.close()
+
+    threading.Thread(target=short_node, daemon=True).start()
+    assert ready.wait(timeout=10)
+
+    class Slow:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def render_rows(self, row0, n_rows):
+            _time.sleep(0.02)
+            return self._inner.render_rows(row0, n_rows)
+
+    net = NetworkWorker(f"127.0.0.1:{port}")
+    local = LocalWorker(renderer_factory=lambda job: Slow(tiny_factory(job)))
+    manager = RenderManager([net.handle(), local.handle()])
+    builder = ImageBuilder(output_dir=str(tmp_path))
+    handle = manager.schedule_job(sd, cfg, builder.sender())
+    assert handle.wait(timeout=180)
+    assert handle.ok, handle.error
+    assert builder.wait_finished(timeout=60)
+    img = builder.get_image()
+    assert img.complete()
+    ref = Renderer(sd, 2, 2, seed=4, target_lanes=1 << 16).render_image()
+    np.testing.assert_array_equal(img.pixels, ref)
+
+    manager.stop()
+    local.stop()
