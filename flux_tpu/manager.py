@@ -437,11 +437,11 @@ class RenderManager:
             # re-dispatched to the survivors. Retry rounds continue as long
             # as each round makes strict progress (a persistently-failing
             # worker can pull-and-lose a few units per round; the healthy
-            # workers still shrink the missing set every time), bounded so
-            # a zero-progress configuration terminates.
+            # workers still shrink the missing set every time); a round
+            # with no progress ends the retries, which also guarantees
+            # termination — the missing count strictly decreases otherwise.
             missing = rnd.missing()
             rnd.close()
-            attempts = 0
             while missing and not cancel.is_set():
                 d_println(
                     f"Render manager: retrying {len(missing)} lost work units"
@@ -449,10 +449,9 @@ class RenderManager:
                 rnd = self._dispatch_round(job, missing, cancel, tracker)
                 still_missing = rnd.missing()
                 rnd.close()
-                attempts += 1
                 no_progress = len(still_missing) >= len(missing)
                 missing = still_missing
-                if no_progress or attempts > len(self._workers) + 2:
+                if no_progress:
                     break
             if missing and not cancel.is_set():
                 # Don't let a hole in the image masquerade as success.

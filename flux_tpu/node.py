@@ -45,7 +45,7 @@ def handle_client(conn: socket.socket, worker: LocalWorker) -> None:
     forwarder = None
     wg = None
 
-    def forward_events(q: "queue.Queue") -> None:
+    def forward_events(q: "queue.Queue", allow_compress: bool) -> None:
         while True:
             ev = q.get()
             if ev is None:
@@ -54,7 +54,10 @@ def handle_client(conn: socket.socket, worker: LocalWorker) -> None:
                 if isinstance(ev, RowsReady):
                     wire.send_msg(
                         conn,
-                        wire.encode_rows(ev.result.work_unit.row_start, ev.result.rows),
+                        wire.encode_rows(
+                            ev.result.work_unit.row_start, ev.result.rows,
+                            allow_compress=allow_compress,
+                        ),
                     )
                 elif isinstance(ev, JobFailed):
                     wire.send_msg(conn, {"type": "job_error", "reason": ev.reason})
@@ -84,12 +87,15 @@ def handle_client(conn: socket.socket, worker: LocalWorker) -> None:
                 finish_job()
                 job = Job.from_dict(msg["job"])
                 d_println(f"node: set_job {job.id}")
+                # Capability gate: only deflate row blocks when THIS master
+                # advertised support (older masters read raw f32 bytes).
+                allow_compress = "zlib-rows" in msg.get("caps", [])
                 unit_queue = queue.Queue()
                 sink = queue.Queue()
                 wg = WaitGroup()
                 wg.add(1)
                 forwarder = threading.Thread(
-                    target=forward_events, args=(sink,), daemon=True
+                    target=forward_events, args=(sink, allow_compress), daemon=True
                 )
                 forwarder.start()
                 worker.handle().send(job, unit_queue, sink, wg)

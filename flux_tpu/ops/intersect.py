@@ -205,8 +205,13 @@ def _gather_hit(scene: SceneArrays, o: Vec3, d: Vec3, best_t, sph_idx, use_plane
     kind = jnp.take(scene.mat_kind, shape_idx, axis=0)
     exp = jnp.take(scene.mat_exp, shape_idx, axis=0)
     alb = jnp.take(alb_tab, shape_idx, axis=0)
-    ctr = jnp.take(scene.sphere_center, sph_idx, axis=0)
-    inv_r = jnp.take(scene.sphere_invert / scene.sphere_radius, sph_idx, axis=0)
+    if ns == 0:
+        # Sphere-free scene: nothing to gather (every winner is a plane).
+        ctr = jnp.zeros(sph_idx.shape + (3,), jnp.float32)
+        inv_r = jnp.zeros(sph_idx.shape, jnp.float32)
+    else:
+        ctr = jnp.take(scene.sphere_center, sph_idx, axis=0)
+        inv_r = jnp.take(scene.sphere_invert / scene.sphere_radius, sph_idx, axis=0)
 
     t_safe = jnp.where(mask, best_t, 0.0)
     point = Vec3(o.x + t_safe * d.x, o.y + t_safe * d.y, o.z + t_safe * d.z)
@@ -281,6 +286,8 @@ def morton_order(centers: jnp.ndarray) -> jnp.ndarray:
     """(N, 3) -> (N,) i32 permutation sorting points along a Morton curve
     (10 bits/axis). Traced: runs on-device inside jit, so the layout is a
     pure function of the scene arrays."""
+    if centers.shape[0] == 0:
+        return jnp.zeros((0,), jnp.int32)
     lo = jnp.min(centers, axis=0)
     hi = jnp.max(centers, axis=0)
     q = jnp.clip(
@@ -310,7 +317,10 @@ def scan_layout(scene: SceneArrays) -> ScanLayout:
     alb_tab = (scene.mat_color * scene.mat_param[:, None])[:ns]
     alb = jnp.take(alb_tab, order, axis=0)
 
-    n_blocks = -(-ns // SCAN_BLOCK)
+    # At least one (all-pad) block, so a sphere-free scene still yields a
+    # valid layout (the megakernel needs non-empty refs; an all-pad block's
+    # AABB is +inf/-inf and is skipped / never tests valid).
+    n_blocks = max(1, -(-ns // SCAN_BLOCK))
     padn = n_blocks * SCAN_BLOCK - ns
     f32 = jnp.float32
 
@@ -335,7 +345,7 @@ def scan_layout(scene: SceneArrays) -> ScanLayout:
     )
 
 
-def intersect_scan(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
+def intersect_scan(scene: SceneArrays, o: Vec3, d: Vec3, layout: "ScanLayout" = None) -> Hit:
     """Nearest hit via a ``lax.scan`` over sphere blocks — the scaling form
     of the unrolled sweep.
 
@@ -357,14 +367,18 @@ def intersect_scan(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
     # Spatially-sorted, NaN-padded blocks (padding spheres can never test
     # valid — a huge finite center is NOT safe, the discriminant is a
     # catastrophic cancellation that can come out garbage-positive).
-    L = scan_layout(scene)
+    # Callers that intersect repeatedly (every bounce + shadow ray) pass a
+    # prebuilt layout so the sort+gathers happen once per render.
+    L = layout if layout is not None else scan_layout(scene)
 
     def step(carry, blk):
         best_t, best_i = carry
         ctr, rad, idx = blk
         for k in range(SCAN_BLOCK):
             t, valid = sphere_t(o, d, a, inv_a, ctr[k, 0], ctr[k, 1], ctr[k, 2], rad[k])
-            cond = valid & (t < best_t)
+            # Equal-t ties keep the lowest ORIGINAL index (common.rs:16-24)
+            # regardless of the Morton visit order.
+            cond = valid & ((t < best_t) | ((t == best_t) & (idx[k] < best_i)))
             best_t = jnp.where(cond, t, best_t)
             best_i = jnp.where(cond, idx[k], best_i)
         return (best_t, best_i), None
@@ -383,7 +397,7 @@ def intersect_scan(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
     return _gather_hit(scene, o, d, t, best_i, use_plane, pl_j, pl_n)
 
 
-def intersect_scan_carry(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
+def intersect_scan_carry(scene: SceneArrays, o: Vec3, d: Vec3, layout: "ScanLayout" = None) -> Hit:
     """Blocked-scan sweep that carries the winner's material record through
     the loop instead of gathering at the end — the in-kernel (Pallas) form.
 
@@ -397,7 +411,7 @@ def intersect_scan_carry(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
 
     a = d.x * d.x + d.y * d.y + d.z * d.z
     inv_a = 1.0 / a
-    L = scan_layout(scene)
+    L = layout if layout is not None else scan_layout(scene)
 
     def step(carry, blk):
         ctr, rad, inv_r_b, kind, exp, alb, idx = blk
@@ -440,7 +454,10 @@ def fold_sphere_block(o, d, a, inv_a, carry, ctr, rad, inv_r_b, kind, exp, alb, 
     for k in range(SCAN_BLOCK):
         cx, cy, cz = ctr[k, 0], ctr[k, 1], ctr[k, 2]
         t, valid = sphere_t(o, d, a, inv_a, cx, cy, cz, rad[k])
-        cond = valid & (t < best_t)
+        # Strict improvement, with the documented equal-t tie rule (lowest
+        # ORIGINAL shape index wins, common.rs:16-24) restored under the
+        # Morton-sorted visit order.
+        cond = valid & ((t < best_t) | ((t == best_t) & (idx[k] < best_i)))
         best_t = jnp.where(cond, t, best_t)
         best_i = jnp.where(cond, idx[k], best_i)
         b_kind = jnp.where(cond, kind[k], b_kind)
@@ -537,7 +554,7 @@ def occluded_sweep(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx):
     return _plane_occluded(scene, o, d, t_max, exclude_idx, occ)
 
 
-def occluded_scan(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx):
+def occluded_scan(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx, layout: "ScanLayout" = None):
     """Any-hit shadow test via a ``lax.scan`` over sphere blocks — the
     scaling form of :func:`occluded_sweep` (compile time constant in scene
     size; carry is a single bool mask)."""
@@ -545,7 +562,7 @@ def occluded_scan(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx):
 
     a = d.x * d.x + d.y * d.y + d.z * d.z
     inv_a = 1.0 / a
-    L = scan_layout(scene)
+    L = layout if layout is not None else scan_layout(scene)
 
     def step(occ, blk):
         ctr, rad, idx = blk
@@ -572,15 +589,16 @@ class Intersector:
     """
 
     bvh: Optional[object] = None  # ops/bvh.py BVHArrays for mode='bvh'
+    layout: Optional[ScanLayout] = None  # prebuilt scan blocks (scan modes)
     mode: str = "sweep"  # 'sweep' | 'scan' | 'scan_carry' | 'bvh'
 
     def __call__(self, scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
         if self.mode == "bvh":
             return intersect_bvh(scene, self.bvh, o, d)
         if self.mode == "scan":
-            return intersect_scan(scene, o, d)
+            return intersect_scan(scene, o, d, layout=self.layout)
         if self.mode == "scan_carry":
-            return intersect_scan_carry(scene, o, d)
+            return intersect_scan_carry(scene, o, d, layout=self.layout)
         if self.mode != "sweep":
             raise ValueError(f"unknown intersection mode {self.mode!r}")
         return intersect(scene, o, d)
@@ -596,7 +614,7 @@ class Intersector:
         with a larger t_max the derived form misses occluders behind the
         excluded shape. Callers (ops/shade.py) always pass the light's t."""
         if self.mode in ("scan", "scan_carry"):
-            return occluded_scan(scene, o, d, t_max, exclude_idx)
+            return occluded_scan(scene, o, d, t_max, exclude_idx, layout=self.layout)
         if self.mode == "bvh":
             h = intersect_bvh(scene, self.bvh, o, d)
             return h.mask & (h.t < t_max) & (h.shape != exclude_idx)
@@ -607,5 +625,5 @@ class Intersector:
 
 
 jax.tree_util.register_dataclass(
-    Intersector, data_fields=["bvh"], meta_fields=["mode"]
+    Intersector, data_fields=["bvh", "layout"], meta_fields=["mode"]
 )

@@ -127,7 +127,8 @@ def extract_lights(sd: SceneData):
 
 
 def sample_light_dirs(lights: LightArrays, p: Vec3, ux, uy, upick):
-    """Cone-sample a direction from ``p`` toward a uniformly-picked light.
+    """Cone-sample a direction from ``p`` toward a light picked with
+    probability ``lights.pick`` (power-proportional selection).
 
     Returns (dir, weight, light_shape_idx, pdf, center, radius): ``weight``
     is L_e · L / pdf_cone, i.e. everything of the estimator except the

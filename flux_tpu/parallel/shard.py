@@ -112,6 +112,15 @@ def sharded_unit_fn(
             )
             return jax.lax.psum(acc, "spp")
 
+        # Build the strategy once per unit render (the scan layout's sort +
+        # gathers hoist out of the chunk loop).
+        if accel in ("scan", "scan_carry"):
+            from ..ops.intersect import scan_layout
+
+            isect = Intersector(mode=accel, layout=scan_layout(scene))
+        else:
+            isect = Intersector(mode=accel)
+
         def body(i, acc):
             s0 = base_s0 + i.astype(jnp.uint32) * np.uint32(chunk)
             part = render_block_impl(
@@ -128,7 +137,7 @@ def sharded_unit_fn(
                 max_depth=max_depth,
                 pvary_axes=("rows", "spp"),
                 s_limit=s_limit,
-                isect=Intersector(mode=accel),
+                isect=isect,
                 lights=lights_v,
                 physical=physical,
                 row_stride=rows_shards,

@@ -283,8 +283,14 @@ class Renderer:
                 np.asarray(self.scene.sphere_center),
                 np.asarray(self.scene.sphere_radius),
             )
-        # The one intersection-strategy object everything downstream calls.
-        self.isect = Intersector(bvh=self.bvh, mode=accel)
+        # The one intersection-strategy object everything downstream calls;
+        # the scan modes carry their Morton block layout built ONCE here.
+        layout = None
+        if accel in ("scan", "scan_carry"):
+            from .ops.intersect import scan_layout
+
+            layout = scan_layout(self.scene)
+        self.isect = Intersector(bvh=self.bvh, layout=layout, mode=accel)
         # Next-event estimation (opt-in; ops/nee.py): direct light sampling
         # at diffuse vertices.
         self.lights = None

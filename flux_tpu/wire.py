@@ -46,11 +46,16 @@ def recv_msg(sock: socket.socket) -> dict:
     return msgpack.unpackb(_recv_exact(sock, length), raw=False)
 
 
-def encode_rows(row_start: int, rows: np.ndarray) -> dict:
+def encode_rows(row_start: int, rows: np.ndarray, allow_compress: bool = True) -> dict:
     """Row block as raw f32 bytes + shape, zlib-deflated when that shrinks
     it (rendered radiance is smooth, so byte-level deflate typically takes
     20-50% off; the reference ships every Color struct as an individual
-    CBOR value, which is most of its network cost)."""
+    CBOR value, which is most of its network cost).
+
+    ``allow_compress`` is the capability gate: senders only deflate when
+    the peer advertised the ``zlib-rows`` capability (an older master
+    would feed compressed bytes straight to ``np.frombuffer``), so
+    mixed-version node/master deployments stay compatible."""
     rows = np.ascontiguousarray(rows, np.float32)
     raw = rows.tobytes()
     msg = {
@@ -58,12 +63,13 @@ def encode_rows(row_start: int, rows: np.ndarray) -> dict:
         "row_start": int(row_start),
         "shape": list(rows.shape),
     }
-    packed = zlib.compress(raw, 1)
-    if len(packed) < len(raw):
-        msg["enc"] = "zlib"
-        msg["data"] = packed
-    else:
-        msg["data"] = raw
+    if allow_compress:
+        packed = zlib.compress(raw, 1)
+        if len(packed) < len(raw):
+            msg["enc"] = "zlib"
+            msg["data"] = packed
+            return msg
+    msg["data"] = raw
     return msg
 
 

@@ -219,7 +219,12 @@ class NetworkWorker:
 
     def _run_job(self, job: Job, unit_queue, sink) -> None:
         sock = self._sock
-        wire.send_msg(sock, {"type": "set_job", "job": job.to_dict()})
+        wire.send_msg(
+            sock,
+            # caps advertises what result encodings this master can decode
+            # (the node only deflates row blocks when it sees zlib-rows).
+            {"type": "set_job", "job": job.to_dict(), "caps": ["zlib-rows"]},
+        )
 
         def send_unit(u) -> None:
             wire.send_msg(

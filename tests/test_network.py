@@ -403,3 +403,55 @@ def test_short_result_block_is_retried_not_a_hole(tmp_path):
 
     manager.stop()
     local.stop()
+
+
+def test_node_compresses_only_with_capability(monkeypatch):
+    """A master that does NOT advertise zlib-rows (an older build) must get
+    raw f32 frames; the capability in set_job switches deflate on."""
+    import flux_tpu.workers as workers_mod
+
+    from flux_tpu.job import Job, JobConfiguration, JobIDAllocator
+
+    monkeypatch.setattr(workers_mod, "default_renderer_factory", tiny_factory)
+    port = free_port()
+    ready = threading.Event()
+    t = threading.Thread(
+        target=serve,
+        kwargs=dict(host="127.0.0.1", port=port, max_connections=2, ready_event=ready),
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(timeout=10)
+    endpoint = f"127.0.0.1:{port}"
+
+    sd = make_scene([env_sphere(0.5)], w=16, h=64)
+    cfg = JobConfiguration(sample_root=1, max_trace_depth=1, rows_per_work_unit=64, seed=0)
+    job = Job(id=JobIDAllocator().next_id(), scene_data=sd, config=cfg)
+
+    def run_once(caps):
+        host, _, port = endpoint.partition(":")
+        conn = socket.create_connection((host, int(port)), timeout=10)
+        hello = wire.recv_msg(conn)
+        assert hello["type"] == "worker_info"
+        msg = {"type": "set_job", "job": job.to_dict()}
+        if caps is not None:
+            msg["caps"] = caps
+        wire.send_msg(conn, msg)
+        wire.send_msg(conn, {"type": "work_unit", "row_start": 0, "row_end": 63})
+        frame = wire.recv_msg(conn)
+        wire.send_msg(conn, {"type": "done"})
+        conn.close()
+        assert frame["type"] == "rows_ready"
+        return frame
+
+    old_master = run_once(caps=None)
+    assert "enc" not in old_master  # raw f32, decodable by any version
+    np.testing.assert_equal(
+        np.frombuffer(old_master["data"], np.float32).size, 64 * 16 * 3
+    )
+    new_master = run_once(caps=["zlib-rows"])
+    # A constant env-sphere render is highly compressible.
+    assert new_master.get("enc") == "zlib"
+    np.testing.assert_array_equal(
+        wire.decode_rows(new_master), wire.decode_rows(old_master)
+    )

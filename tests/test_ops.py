@@ -271,3 +271,56 @@ class TestOccluded:
         lit_a = np.asarray(l_valid & ~via_bvh)
         lit_b = np.asarray(l_valid & ~via_sweep)
         np.testing.assert_array_equal(lit_a, lit_b)
+
+
+class TestScanLayoutEdgeCases:
+    def test_sphere_free_scene_scan(self):
+        # Regression: morton_order/scan_layout on a plane-only scene (the
+        # plain scan handled num_spheres == 0 before the sorted layout).
+        from flux_tpu.ops.intersect import intersect_scan, occluded_scan, scan_layout
+
+        scene = make_arrays(
+            [PlaneData(point=(0, 0, 0), normal=(0, 1, 0), material=MATTE)]
+        )
+        L = scan_layout(scene)
+        assert L.n_blocks == 1 and int(np.asarray(L.idx).max()) == -1
+        o = vec(0, 1, 0)
+        d = vec(0, -1, 0)
+        h = intersect_scan(scene, o, d)
+        assert bool(h.mask[0]) and int(h.shape[0]) == 0  # the plane (idx ns+0)
+        occ = occluded_scan(scene, o, d, jnp.asarray([10.0], jnp.float32),
+                            jnp.asarray([-1], jnp.int32))
+        assert bool(occ[0])
+
+    def test_equal_t_tie_keeps_lowest_original_index(self):
+        # Two spheres tangent to the same ray at bit-identical t; the
+        # documented rule (lowest shape index wins, common.rs:16-24) must
+        # hold in the Morton-sorted scans exactly as in the sweep.
+        from flux_tpu.ops.intersect import (
+            intersect, intersect_scan, intersect_scan_carry,
+        )
+
+        r = float(np.sqrt(2.0))
+        shapes = [
+            SphereData(center=(1.0, 1.0, 5.0), radius=r, material=MATTE),
+            SphereData(
+                center=(-1.0, -1.0, 5.0), radius=r,
+                material=MaterialData(kind=MaterialKind.MATTE, color=(1, 0, 0), param=1.0),
+            ),
+        ]
+        # Pad with far-away spheres so the scan actually sorts something.
+        rng = np.random.default_rng(0)
+        for _ in range(40):
+            shapes.append(
+                SphereData(center=tuple(rng.uniform(50, 60, 3)), radius=0.1, material=MATTE)
+            )
+        scene = make_arrays(shapes)
+        o = vec(0, 0, 0)
+        d = vec(0, 0, 1)
+        h_sweep = intersect(scene, o, d)
+        h_scan = intersect_scan(scene, o, d)
+        h_carry = intersect_scan_carry(scene, o, d)
+        assert int(h_sweep.shape[0]) == 0
+        assert int(h_scan.shape[0]) == 0
+        assert int(h_carry.shape[0]) == 0
+        assert float(h_scan.t[0]) == float(h_sweep.t[0])

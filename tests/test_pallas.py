@@ -169,3 +169,27 @@ def test_scan_skip_nee_matches_unskipped():
         scene, cam, np.int32(0), np.uint32(0), np.uint32(1), scan_skip=False, **kw
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scan_sphere_free_scene_kernel():
+    """Plane-only scene through the megakernel's scan path (regression:
+    the sorted layout must tolerate num_spheres == 0)."""
+    sd = make_scene(
+        [PlaneData(point=(0.0, -1.0, 0.0), normal=(0.0, 1.0, 0.0),
+                   material=MaterialData(kind=MaterialKind.MATTE,
+                                         color=(0.5, 0.5, 0.5), param=1.0))],
+        w=16, h=8,
+    )
+    scene = compile_scene(sd)
+    cam = camera_arrays(
+        sd.camera_settings, sd.camera_data, sd.output_settings.pixel_size
+    )
+    kw = dict(img_w=16, img_h=8, n_rows=8, n_samples=2, root=2, max_depth=2)
+    a = render_block_pallas(
+        scene, cam, np.int32(0), np.uint32(0), np.uint32(0), accel="scan",
+        interpret=True, **kw
+    )
+    b = render_block(
+        scene, cam, np.int32(0), np.uint32(0), np.uint32(0), **kw
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
