@@ -93,12 +93,15 @@ class RenderingFinished:
 
 @dataclass(frozen=True)
 class JobFailed:
-    """A worker could not render this job at all (emitted into the event
-    stream so remote masters hear about node-side failures; see node.py).
-    The reference has no failure reporting — a dead worker panics the whole
-    master process (manager.rs:158-161)."""
+    """A worker could not render this job (emitted into the event stream so
+    remote masters hear about node-side failures; see node.py). The
+    reference has no failure reporting — a dead worker panics the whole
+    master process (manager.rs:158-161). ``worker`` identifies the failing
+    worker so retry rounds can route around it (empty when unknown, e.g. a
+    node-side report relayed over the wire)."""
 
     reason: str
+    worker: str = ""
 
 
 RenderEvent = object  # union of the five dataclasses above
@@ -238,7 +241,7 @@ class ConsoleResultReporter:
                 print(f"ConsoleResultReporter: scene: {ev.scene_name}")
                 print(f"ConsoleResultReporter: image {ev.width} x {ev.height} pixels")
             elif isinstance(ev, RowsReady):
-                n = ev.result.work_unit.num_rows
+                n = int(np.shape(ev.result.rows)[0])
                 print(f"ConsoleResultReporter: image fragment done, {n} rows")
             elif isinstance(ev, JobFailed):
                 print(f"ConsoleResultReporter: worker failed: {ev.reason}")
@@ -338,12 +341,15 @@ class _CompletionTracker:
     def __init__(self, sink):
         self._sink = sink
         self.round = None
+        self.failed_workers = set()
 
     def put(self, ev) -> None:
         if isinstance(ev, RowsReady) and self.round is not None:
             unit = ev.result.work_unit
             if np.shape(ev.result.rows)[0] == unit.num_rows:
                 self.round.complete_row(unit.row_start)
+        elif isinstance(ev, JobFailed) and ev.worker:
+            self.failed_workers.add(ev.worker)
         self._sink.put(ev)
 
 
@@ -390,6 +396,14 @@ class RenderManager:
         workers = [w for w in self._workers if w.alive]
         if not workers:
             raise RuntimeError("no alive workers")
+        # Retry rounds route around workers that already failed THIS job
+        # (they would fail its retry the same way and can claim every
+        # remaining unit before slower healthy workers pull any). If that
+        # excludes everyone, fall back to all alive workers — the failure
+        # may have been transient.
+        healthy = [w for w in workers if w.name not in tracker.failed_workers]
+        if healthy:
+            workers = healthy
         rnd = SchedulerRound(units, len(workers), cancel_event=cancel)
         tracker.round = rnd
 

@@ -14,6 +14,8 @@ import contextlib
 import queue
 import threading
 import time
+
+import numpy as np
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -93,7 +95,13 @@ class ProgressReporter:
                 elif isinstance(ev, RenderingStarted):
                     s.start_monotonic = ev.monotonic
                 elif isinstance(ev, RowsReady):
-                    s.rows_done += ev.result.work_unit.num_rows
+                    # Count only FULL blocks (a short block from a dying
+                    # node is retried, and counting it would double rows).
+                    if (
+                        np.shape(ev.result.rows)[0]
+                        == ev.result.work_unit.num_rows
+                    ):
+                        s.rows_done += ev.result.work_unit.num_rows
                     s.units_done += 1
                     if self._print:
                         sps = s.samples_per_sec()

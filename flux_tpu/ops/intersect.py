@@ -339,6 +339,12 @@ def scan_layout(scene: SceneArrays) -> ScanLayout:
     r3 = radp[..., None]
     bmin = jnp.min(jnp.where(real, ctr - r3, jnp.inf), axis=1).astype(f32)
     bmax = jnp.max(jnp.where(real, ctr + r3, -jnp.inf), axis=1).astype(f32)
+    # An all-pad block must carry a NaN box, not +inf/-inf: inf slabs give
+    # t0 = -inf <= t1 = +inf, which PASSES the slab test, while NaN
+    # comparisons are false — so the skip actually fires for that block.
+    empty = ~jnp.any(real, axis=1)  # (n_blocks, 1)
+    bmin = jnp.where(empty, jnp.nan, bmin)
+    bmax = jnp.where(empty, jnp.nan, bmax)
     return ScanLayout(
         ctr=ctr, rad=radp, inv_r=inv_rp, kind=kindp, exp=expp, alb=albp,
         idx=idxp, bmin=bmin, bmax=bmax,

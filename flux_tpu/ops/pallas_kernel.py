@@ -216,6 +216,9 @@ def _kernel(
         def _block_hit(i, o, d, inv_dx, inv_dy, inv_dz, need):
             """True iff any needed lane's ray enters block i's AABB (slab
             test, IEEE inf/NaN semantics as in ops/aabb.py)."""
+            # Same slab recipe as ops/aabb.py aabb_hit (inf/NaN handled by
+            # IEEE min/max), but with t0 <= t1 (conservative for degenerate
+            # flat boxes) and a hoisted per-call inverse direction.
             lox, loy, loz = aabb_ref[i, 0], aabb_ref[i, 1], aabb_ref[i, 2]
             hix, hiy, hiz = aabb_ref[i, 3], aabb_ref[i, 4], aabb_ref[i, 5]
             tx0 = (lox - o.x) * inv_dx
@@ -483,6 +486,7 @@ def render_block_pallas(
     early_exit: bool = True,
     scan_skip: bool = True,
     row_stride: int = 1,
+    scan_blocks=None,
 ):
     """Drop-in replacement for render.render_block (same contract: radiance
     sums over sample indices [s0, s0+n_samples) for a row band).
@@ -537,7 +541,9 @@ def render_block_pallas(
         # carries the PRE-DIVIDED invert/radius (bit-identical to the XLA
         # fold), and sphere mat rows are pre-multiplied color×param with
         # param 1. Padding entries have NaN centers (never test valid).
-        L = scan_layout(scene)
+        # ``scan_blocks`` (the Renderer's Intersector.layout) skips
+        # rebuilding the sort per launch.
+        L = scan_blocks if scan_blocks is not None else scan_layout(scene)
         target_ns = L.n_blocks * SCAN_BLOCK
         sphere_center = L.ctr.reshape(target_ns, 3)
         sphere_radius = L.rad.reshape(target_ns)

@@ -88,8 +88,10 @@ def sharded_unit_fn(
         s_limit = jnp.minimum(base_s0 + np.uint32(per_dev), np.uint32(spp))
 
         if backend == "pallas":
+            from ..ops.intersect import scan_layout
             from ..ops.pallas_kernel import default_s_blk, render_block_pallas
 
+            blocks = scan_layout(scene) if accel == "scan" else None
             acc = render_block_pallas(
                 scene,
                 cam,
@@ -109,6 +111,7 @@ def sharded_unit_fn(
                 lights=lights_v,
                 physical=physical,
                 row_stride=rows_shards,
+                scan_blocks=blocks,
             )
             return jax.lax.psum(acc, "spp")
 

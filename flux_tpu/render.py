@@ -370,6 +370,7 @@ class Renderer:
                 with_stats=with_stats,
                 lights=self.lights,
                 physical=self.physical,
+                scan_blocks=self.isect.layout,
             )
         if self.bvh is not None and n_rows > _BVH_MAX_ROWS_PER_LAUNCH:
             # Whole-frame launches of the traversal program fault the TPU

@@ -132,7 +132,12 @@ class LocalWorker:
                 # discarding them into the retry round.
                 d_println(f"LocalWorker: job {job.id} failed: {e!r}")
                 try:
-                    sink.put(JobFailed(reason=f"{type(e).__name__}: {e}"))
+                    sink.put(
+                        JobFailed(
+                            reason=f"{type(e).__name__}: {e}",
+                            worker=self._handle.name,
+                        )
+                    )
                 except Exception:
                     pass
             finally:
@@ -201,6 +206,10 @@ class NetworkWorker:
                 # unclaimed units stay in the round for surviving workers
                 # (SchedulerRound is pull-based; nothing needs draining).
                 d_println(f"NetworkWorker[{self.endpoint}]: node job error: {e}")
+                try:
+                    sink.put(JobFailed(reason=str(e), worker=self._handle.name))
+                except Exception:
+                    pass
                 try:
                     wire.send_msg(self._sock, {"type": "done"})
                 except OSError:
