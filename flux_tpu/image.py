@@ -11,8 +11,6 @@ hand-converting its PPMs.
 from __future__ import annotations
 
 import io
-from typing import Optional
-
 import numpy as np
 
 __all__ = ["Image", "ppm_bytes", "write_ppm", "write_png"]

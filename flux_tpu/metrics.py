@@ -16,7 +16,7 @@ import threading
 import time
 
 import numpy as np
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 from .manager import ImageInfo, RenderingFinished, RenderingStarted, RowsReady

@@ -39,7 +39,7 @@ import numpy as np
 
 from ..samplers.warps import to_unit_hemi
 from ..scene import MaterialKind
-from ..vec import Vec3, cross, dot, frame_about, normalize, reflect
+from ..vec import Vec3, dot, frame_about, reflect
 from ..vec import where as vwhere
 
 __all__ = ["sample_directions"]

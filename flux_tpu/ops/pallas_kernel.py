@@ -25,7 +25,6 @@ tests/test_pallas.py (interpret mode on CPU).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

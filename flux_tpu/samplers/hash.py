@@ -15,8 +15,6 @@ constructions widely used for exactly this purpose.  All arithmetic is
 uint32 and wraps, which XLA lowers directly to the VPU.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -17,9 +17,7 @@ from __future__ import annotations
 import queue
 import socket
 import threading
-from typing import Callable, Optional
-
-import numpy as np
+from typing import Callable
 
 from .constants import DEFAULT_PORT
 from .debug import d_println
