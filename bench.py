@@ -92,20 +92,55 @@ def main():
     except Exception:
         pass
 
-    print(
-        json.dumps(
-            {
-                "metric": "demo2_16384spp_throughput",
-                "value": round(msps_per_chip, 2),
-                "unit": "Msamples/s/chip",
-                "vs_baseline": round(msps_per_chip / BASELINE_MSAMPLES_PER_S, 2),
-                "wall_clock_s": round(wall, 2),
-                "baseline_wall_clock_s": 1479.9,
-                "spp": ROOT * ROOT,
-                "devices": n_dev,
-            }
-        )
-    )
+    result = {
+        "metric": "demo2_16384spp_throughput",
+        "value": round(msps_per_chip, 2),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(msps_per_chip / BASELINE_MSAMPLES_PER_S, 2),
+        "wall_clock_s": round(wall, 2),
+        "baseline_wall_clock_s": 1479.9,
+        "spp": ROOT * ROOT,
+        "devices": n_dev,
+    }
+
+    # Regression contract: every bench run appends (headline + secondary
+    # numbers) to a history log, and a soft warning goes to STDERR when the
+    # headline drops more than the axon tunnel's observed run-to-run noise
+    # (±10%, NOTES.md) below the best recorded run. stdout stays exactly
+    # one JSON line.
+    try:
+        hist_path = os.path.join(here, "artifacts", "bench_history.jsonl")
+        prev_best = None
+        if os.path.exists(hist_path):
+            with open(hist_path) as f:
+                for line in f:
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        continue
+                    if rec.get("metric") == result["metric"]:
+                        v = rec.get("value")
+                        if v and (prev_best is None or v > prev_best):
+                            prev_best = v
+        with open(hist_path, "a") as f:
+            f.write(
+                json.dumps(
+                    {"when": time.strftime("%Y-%m-%dT%H:%M:%S"), **result,
+                     "extra": extra}
+                )
+                + "\n"
+            )
+        if prev_best is not None and result["value"] < 0.88 * prev_best:
+            print(
+                f"bench WARNING: headline {result['value']} Msamples/s/chip is "
+                f">12% below the best recorded run ({prev_best}) — possible "
+                f"regression (see {hist_path})",
+                file=sys.stderr,
+            )
+    except Exception:
+        pass
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

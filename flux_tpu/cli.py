@@ -65,8 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--rows-shards",
         type=int,
-        default=1,
-        help="tile-sharding factor of the local device mesh (rest goes to sample sharding)",
+        default=None,
+        help="tile-sharding factor of the local device mesh; the rest goes "
+        "to sample sharding (default: auto — sample-only at demo scale, "
+        "row sharding engages on memory-bound tall frames)",
     )
     p.add_argument(
         "--accel",
@@ -146,7 +148,7 @@ def run_progressive(args, scene) -> int:
     from .checkpoint import ProgressiveRenderer
     from .image import write_png, write_ppm
 
-    if (args.devices or 1) > 1 or args.rows_shards > 1:
+    if (args.devices or 1) > 1 or (args.rows_shards or 1) > 1:
         print(
             "note: --progressive renders on a single device; "
             "-t/--rows-shards are ignored here (see NOTES.md)",
@@ -193,7 +195,7 @@ def run_progressive(args, scene) -> int:
     return 0
 
 
-def make_local_worker(args):
+def make_local_worker(args, scene):
     import jax
 
     from .workers import LocalWorker
@@ -205,7 +207,13 @@ def make_local_worker(args):
     if len(devices) > 1:
         from .parallel import MeshRenderer, make_mesh
 
-        mesh = make_mesh(devices, rows_shards=args.rows_shards)
+        out = scene.output_settings
+        mesh = make_mesh(
+            devices,
+            rows_shards=args.rows_shards,
+            n_rows_hint=out.image_height,
+            n_cols_hint=out.image_width,
+        )
 
         def factory(job):
             return MeshRenderer(
@@ -313,7 +321,7 @@ def _run_job_path(args, scene) -> int:
     workers = []
     handles = []
     if not args.no_local:
-        w = make_local_worker(args)
+        w = make_local_worker(args, scene)
         info = w.info()
         print(f"Local worker ready, info:\nDevices: {info.num_devices} ({info.platform})")
         workers.append(w)

@@ -34,7 +34,19 @@ class Image:
 
     def set_rows(self, row_start: int, values: np.ndarray) -> None:
         values = np.asarray(values, np.float32)
+        # Enforce the same contract as set_row: a malformed network frame
+        # must fail loudly here, not as a broadcast error (or a silent
+        # partial write) inside the ImageBuilder thread.
+        if values.ndim != 3 or values.shape[1:] != (self.width, 3):
+            raise ValueError(
+                f"rows shape {values.shape} != (n, {self.width}, 3)"
+            )
         n = values.shape[0]
+        if row_start < 0 or row_start + n > self.height:
+            raise ValueError(
+                f"rows [{row_start}, {row_start + n}) outside image "
+                f"height {self.height}"
+            )
         self.pixels[row_start : row_start + n] = values
         self._filled[row_start : row_start + n] = True
 

@@ -24,6 +24,7 @@ Deviations from the reference, on purpose:
 
 from __future__ import annotations
 
+import itertools
 import queue
 import threading
 import time
@@ -151,9 +152,16 @@ class WorkerHandle:
     yields ``None``.
     """
 
+    _uid_seq = itertools.count()
+
     def __init__(self, request_queue: "queue.Queue", name: str = "worker"):
         self._q = request_queue
         self.name = name
+        # Failure attribution key. Display names can collide (two
+        # NetworkWorkers against the same endpoint label), and routing
+        # retries by name would blacklist a healthy namesake alongside its
+        # failed twin — so events carry this unique token instead.
+        self.uid = f"{name}#{next(WorkerHandle._uid_seq)}"
         self._dead = threading.Event()
 
     def send(self, job: Job, unit_queue, event_sink, wg: WaitGroup) -> None:
@@ -302,9 +310,15 @@ class ImageBuilder:
             elif isinstance(ev, RowsReady):
                 with self._lock:
                     if self._image is not None:
-                        self._image.set_rows(
-                            ev.result.work_unit.row_start, ev.result.rows
-                        )
+                        try:
+                            self._image.set_rows(
+                                ev.result.work_unit.row_start, ev.result.rows
+                            )
+                        except ValueError as e:
+                            # A malformed block must not kill the builder
+                            # thread; the completion tracker leaves the unit
+                            # in the retry set, so dropping it here is safe.
+                            d_println(f"ImageBuilder: dropping bad rows: {e}")
             elif isinstance(ev, RenderingFinished):
                 if self._start_mono is not None:
                     self.last_duration = ev.monotonic - self._start_mono
@@ -342,11 +356,21 @@ class _CompletionTracker:
         self._sink = sink
         self.round = None
         self.failed_workers = set()
+        self._width = None
 
     def put(self, ev) -> None:
-        if isinstance(ev, RowsReady) and self.round is not None:
+        if isinstance(ev, ImageInfo):
+            self._width = ev.width
+        elif isinstance(ev, RowsReady) and self.round is not None:
             unit = ev.result.work_unit
-            if np.shape(ev.result.rows)[0] == unit.num_rows:
+            # The FULL shape must match, not just the row count: the
+            # ImageBuilder drops wrong-width blocks, so counting one here
+            # would punch a silent hole in a "successful" image.
+            shape = np.shape(ev.result.rows)
+            ok = shape[0] == unit.num_rows and (
+                self._width is None or shape[1:] == (self._width, 3)
+            )
+            if ok:
                 self.round.complete_row(unit.row_start)
         elif isinstance(ev, JobFailed) and ev.worker:
             self.failed_workers.add(ev.worker)
@@ -401,7 +425,7 @@ class RenderManager:
         # remaining unit before slower healthy workers pull any). If that
         # excludes everyone, fall back to all alive workers — the failure
         # may have been transient.
-        healthy = [w for w in workers if w.name not in tracker.failed_workers]
+        healthy = [w for w in workers if w.uid not in tracker.failed_workers]
         if healthy:
             workers = healthy
         rnd = SchedulerRound(units, len(workers), cancel_event=cancel)
@@ -456,6 +480,13 @@ class RenderManager:
             # termination — the missing count strictly decreases otherwise.
             missing = rnd.missing()
             rnd.close()
+            # A round where healthy workers complete exactly as many units
+            # as a flaky worker newly loses is still forward progress
+            # (the missing SET changed even though its size didn't), so
+            # equal-size rounds get a bounded allowance instead of an
+            # immediate abort; only the strict count decrease resets it,
+            # which keeps termination guaranteed.
+            stalled_rounds = 0
             while missing and not cancel.is_set():
                 d_println(
                     f"Render manager: retrying {len(missing)} lost work units"
@@ -463,9 +494,12 @@ class RenderManager:
                 rnd = self._dispatch_round(job, missing, cancel, tracker)
                 still_missing = rnd.missing()
                 rnd.close()
-                no_progress = len(still_missing) >= len(missing)
+                if len(still_missing) < len(missing):
+                    stalled_rounds = 0
+                else:
+                    stalled_rounds += 1
                 missing = still_missing
-                if no_progress:
+                if stalled_rounds >= 2:
                     break
             if missing and not cancel.is_set():
                 # Don't let a hole in the image masquerade as success.

@@ -97,12 +97,14 @@ class ProgressReporter:
                 elif isinstance(ev, RowsReady):
                     # Count only FULL blocks (a short block from a dying
                     # node is retried, and counting it would double rows).
+                    # Short blocks are retried, so counting them would also
+                    # double-count the unit when the full retry lands.
                     if (
                         np.shape(ev.result.rows)[0]
                         == ev.result.work_unit.num_rows
                     ):
                         s.rows_done += ev.result.work_unit.num_rows
-                    s.units_done += 1
+                        s.units_done += 1
                     if self._print:
                         sps = s.samples_per_sec()
                         eta = s.eta_seconds()

@@ -234,7 +234,13 @@ def _kernel(
                 jnp.maximum(tx0, tx1),
                 jnp.minimum(jnp.maximum(ty0, ty1), jnp.maximum(tz0, tz1)),
             )
-            hit = (t0 <= t1) & (t1 > _T_MIN)
+            # 0·inf NaN guard (origin exactly on a slab plane of an axis the
+            # ray is parallel to): jnp.minimum/maximum propagate NaN, which
+            # would read as a MISS here — and a false miss in the skip test
+            # drops real intersections for the whole tile. Treat NaN as hit
+            # so the skip stays strictly conservative.
+            nan = jnp.isnan(t0) | jnp.isnan(t1)
+            hit = nan | ((t0 <= t1) & (t1 > _T_MIN))
             if need is not None:
                 hit &= need
             return jnp.any(hit)

@@ -187,7 +187,7 @@ class MeshRenderer:
         max_depth: int,
         seed: int = 0,
         mesh: Optional[Mesh] = None,
-        rows_shards: int = 1,
+        rows_shards: Optional[int] = None,
         target_lanes: int = 32 << 20,
         backend: Optional[str] = None,
         interpret: bool = False,
@@ -207,7 +207,18 @@ class MeshRenderer:
         self.root = int(sample_root)
         self.max_depth = int(max_depth)
         self.seed = int(seed) & 0xFFFFFFFF
-        self.mesh = mesh if mesh is not None else make_mesh(rows_shards=rows_shards)
+        # rows_shards=None auto-picks the mesh shape from the frame size
+        # (spp-only at demo scale; 'rows' engages on memory-bound frames —
+        # parallel/mesh.py pick_mesh_shape).
+        self.mesh = (
+            mesh
+            if mesh is not None
+            else make_mesh(
+                rows_shards=rows_shards,
+                n_rows_hint=self.height,
+                n_cols_hint=self.width,
+            )
+        )
         self.target_lanes = int(target_lanes)
         if accel is None:
             from ..render import SCAN_AUTO_THRESHOLD

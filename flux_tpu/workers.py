@@ -57,12 +57,18 @@ def default_renderer_factory(job: Job, devices: int = None):
     if len(devs) > 1:
         from .parallel import MeshRenderer, make_mesh
 
+        out = job.scene_data.output_settings
         return MeshRenderer(
             job.scene_data,
             sample_root=job.config.sample_root,
             max_depth=job.config.max_trace_depth,
             seed=job.config.seed,
-            mesh=make_mesh(devs),
+            mesh=make_mesh(
+                devs,
+                rows_shards=None,
+                n_rows_hint=out.image_height,
+                n_cols_hint=out.image_width,
+            ),
             nee=job.config.nee,
             physical=job.config.physical,
         )
@@ -133,7 +139,7 @@ class LocalWorker:
                     sink.put(
                         JobFailed(
                             reason=f"{type(e).__name__}: {e}",
-                            worker=self._handle.name,
+                            worker=self._handle.uid,
                         )
                     )
                 except Exception:
@@ -205,7 +211,7 @@ class NetworkWorker:
                 # (SchedulerRound is pull-based; nothing needs draining).
                 d_println(f"NetworkWorker[{self.endpoint}]: node job error: {e}")
                 try:
-                    sink.put(JobFailed(reason=str(e), worker=self._handle.name))
+                    sink.put(JobFailed(reason=str(e), worker=self._handle.uid))
                 except Exception:
                     pass
                 try:
@@ -239,6 +245,8 @@ class NetworkWorker:
                 {"type": "work_unit", "row_start": u.row_start, "row_end": u.row_end},
             )
 
+        width = job.scene_data.output_settings.image_width
+
         def recv_result(expect: dict) -> None:
             msg = wire.recv_msg(sock)
             if msg.get("type") == "job_error":
@@ -247,6 +255,18 @@ class NetworkWorker:
                 raise RuntimeError(f"unexpected node message: {msg.get('type')!r}")
             u = expect.pop(msg["row_start"])
             rows = wire.decode_rows(msg)
+            # Validate before the frame reaches the ImageBuilder: a
+            # truncated/mis-shaped block from a buggy node must turn into a
+            # clean job error (→ the manager retries the unit elsewhere),
+            # not a corrupted image. The frame itself decoded fine, so the
+            # byte stream is still synchronized — _NodeJobError keeps the
+            # connection for future jobs.
+            shape = rows.shape
+            if shape[1:] != (width, 3) or shape[0] > u.num_rows:
+                raise _NodeJobError(
+                    f"malformed rows_ready frame for unit {u.row_start}: "
+                    f"shape {shape}, expected ({u.num_rows}, {width}, 3)"
+                )
             sink.put(RowsReady(WorkUnitResult(work_unit=u, rows=rows)))
 
         in_flight: dict = {}

@@ -294,3 +294,36 @@ def test_total_worker_failure_reports_error():
     b.stop()
     w.stop()
     manager.stop()
+
+
+def test_progress_reporter_ignores_short_blocks():
+    """A short (to-be-retried) block must not bump rows_done OR units_done —
+    counting it would overreport once the retried full block lands."""
+    import queue as _queue
+
+    from flux_tpu.manager import (
+        ImageInfo,
+        RenderingStarted,
+        RowsReady,
+        WorkUnitResult,
+    )
+    from flux_tpu.job import WorkUnit, JobID
+
+    rep = ProgressReporter(sample_root=1, print_progress=False)
+    q = rep.sender()
+    q.put(ImageInfo(scene_name="t", width=4, height=8))
+    q.put(RenderingStarted(job_id=JobID(0, 0), start_time=0.0, monotonic=0.0))
+    unit = WorkUnit(row_start=0, row_end=3, job_id=JobID(0, 0))
+    short = np.zeros((2, 4, 3), np.float32)  # 2 rows for a 4-row unit
+    q.put(RowsReady(WorkUnitResult(work_unit=unit, rows=short)))
+    full = np.zeros((4, 4, 3), np.float32)
+    q.put(RowsReady(WorkUnitResult(work_unit=unit, rows=full)))
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        s = rep.snapshot()
+        if s.units_done:
+            break
+        time.sleep(0.02)
+    s = rep.snapshot()
+    assert s.rows_done == 4 and s.units_done == 1
+    rep.stop()

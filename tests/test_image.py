@@ -74,3 +74,27 @@ def test_png_write(tmp_path):
     back = np.asarray(PILImage.open(p))
     assert back.shape == (2, 2, 3)
     assert tuple(back[0, 0]) == (255, 0, 0)
+
+
+def test_set_rows_validates_shape_and_bounds():
+    """set_rows enforces the same contract as set_row (a malformed network
+    frame must fail loudly, not broadcast-error or silently partial-write in
+    the ImageBuilder thread)."""
+    import pytest
+
+    from flux_tpu.image import Image
+
+    img = Image(8, 6)
+    img.set_rows(2, np.zeros((2, 8, 3), np.float32))  # ok
+    with pytest.raises(ValueError):
+        img.set_rows(0, np.zeros((2, 7, 3), np.float32))  # wrong width
+    with pytest.raises(ValueError):
+        img.set_rows(0, np.zeros((2, 8, 4), np.float32))  # wrong channels
+    with pytest.raises(ValueError):
+        img.set_rows(0, np.zeros((8, 3), np.float32))  # missing rows dim
+    with pytest.raises(ValueError):
+        img.set_rows(5, np.zeros((2, 8, 3), np.float32))  # past the bottom
+    with pytest.raises(ValueError):
+        img.set_rows(-1, np.zeros((2, 8, 3), np.float32))
+    # Nothing was corrupted by the rejected writes.
+    assert img.filled_rows.tolist() == [False, False, True, True, False, False]

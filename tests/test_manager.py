@@ -276,3 +276,105 @@ class TestLostUnitRetry:
         job, img, _ = self._run(scene16, [w1, w2])
         assert not job.ok
         assert "lost" in (job.error or "")
+
+
+class TestTransientFailureRecovery:
+    """Retry rounds tolerate a bounded number of no-progress rounds before
+    giving up: a transiently-failing worker (e.g. a device hiccup) clears on
+    a later attempt instead of failing an otherwise recoverable render."""
+
+    class _EventuallyOkRenderer:
+        """Each unit fails its first `fails` attempts, then succeeds.
+        ``attempts`` is shared across instances because the worker rebuilds
+        its renderer every dispatch round — the transient failure must
+        persist across rounds, not reset with each retry."""
+
+        def __init__(self, inner, attempts, fails=2):
+            self._inner = inner
+            self._fails = fails
+            self._attempts = attempts
+
+        def render_rows(self, row0, n_rows):
+            n = self._attempts.get(row0, 0) + 1
+            self._attempts[row0] = n
+            if n <= self._fails:
+                raise RuntimeError(f"transient failure for unit {row0}")
+            return self._inner.render_rows(row0, n_rows)
+
+    def test_transient_failures_recover_within_stall_allowance(self, scene16):
+        cfg = JobConfiguration(
+            sample_root=2, max_trace_depth=2, rows_per_work_unit=6, seed=7
+        )
+        attempts = {}
+        worker = LocalWorker(
+            renderer_factory=lambda job: self._EventuallyOkRenderer(
+                tiny_factory(job), attempts, fails=2
+            ),
+            name="transient",
+        )
+        manager = RenderManager([worker.handle()])
+        builder = ImageBuilder(output_dir="/tmp", filename="transienttest.ppm")
+        job = manager.schedule_job(scene16, cfg, builder.sender())
+        assert job.wait(timeout=180)
+        # Two no-progress rounds (attempts 1 and 2 of the first unit) are
+        # within the allowance; attempt 3 succeeds and progress resumes.
+        assert job.ok, job.error
+        builder.wait_finished(timeout=30)
+        img = builder.get_image()
+        assert img.complete()
+        ref = Renderer(scene16, sample_root=2, max_depth=2, seed=7).render_image()
+        np.testing.assert_array_equal(img.pixels, ref)
+        manager.stop()
+        worker.stop()
+        builder.stop()
+
+    def test_persistent_failure_still_terminates(self, scene16):
+        """A worker that never succeeds must exhaust the stall allowance and
+        fail the job (termination guarantee)."""
+
+        def always_broken(job):
+            raise RuntimeError("permanent failure")
+
+        worker = LocalWorker(renderer_factory=always_broken, name="perma")
+        manager = RenderManager([worker.handle()])
+        sink = queue.Queue()
+        cfg = JobConfiguration(
+            sample_root=1, max_trace_depth=1, rows_per_work_unit=6, seed=0
+        )
+        job = manager.schedule_job(scene16, cfg, sink)
+        assert job.wait(timeout=120)
+        assert not job.ok
+        assert "lost after retry" in (job.error or "")
+        manager.stop()
+        worker.stop()
+
+
+def test_worker_uid_distinguishes_same_name_workers(scene16):
+    """Two workers sharing a display name must not share failure
+    attribution: only the actually-failed worker is routed around in retry
+    rounds, so the healthy namesake still completes the job."""
+    from flux_tpu.manager import WorkerHandle
+
+    def broken_factory(job):
+        raise RuntimeError("injected failure")
+
+    a = LocalWorker(renderer_factory=broken_factory, name="twin")
+    b = LocalWorker(renderer_factory=tiny_factory, name="twin")
+    assert a.handle().uid != b.handle().uid
+    assert a.handle().name == b.handle().name == "twin"
+
+    manager = RenderManager([a.handle(), b.handle()])
+    builder = ImageBuilder(output_dir="/tmp", filename="twintest.ppm")
+    cfg = JobConfiguration(sample_root=2, max_trace_depth=2, rows_per_work_unit=2, seed=7)
+    job = manager.schedule_job(scene16, cfg, builder.sender())
+    assert job.wait(timeout=180)
+    assert job.ok, job.error
+    builder.wait_finished(timeout=30)
+    img = builder.get_image()
+    assert img.complete()
+    ref = Renderer(scene16, sample_root=2, max_depth=2, seed=7).render_image()
+    np.testing.assert_array_equal(img.pixels, ref)
+    manager.stop()
+    a.stop()
+    b.stop()
+    builder.stop()

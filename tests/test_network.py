@@ -455,3 +455,74 @@ def test_node_compresses_only_with_capability(monkeypatch):
     np.testing.assert_array_equal(
         wire.decode_rows(new_master), wire.decode_rows(old_master)
     )
+
+
+def test_malformed_width_frame_rejected_and_retried(tmp_path):
+    """A node that returns rows with the WRONG WIDTH (malformed frame, not
+    just short) must end in a clean job error on that worker and a retried
+    unit — never a corrupted image or a dead ImageBuilder thread."""
+    import time as _time
+
+    from flux_tpu.job import Job
+
+    sd = make_scene([env_sphere(0.5)], w=16, h=24)
+    cfg = JobConfiguration(
+        sample_root=2, max_trace_depth=2, rows_per_work_unit=2, seed=4
+    )
+
+    port = free_port()
+    ready = threading.Event()
+
+    def bad_width_node():
+        srv = socket.socket()
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", port))
+        srv.listen(1)
+        ready.set()
+        conn, _ = srv.accept()
+        wire.send_msg(
+            conn, {"type": "worker_info", "num_devices": 1, "platform": "cpu"}
+        )
+        job = Job.from_dict(wire.recv_msg(conn)["job"])
+        r = tiny_factory(job)
+        u = wire.recv_msg(conn)
+        rows = r.render_rows(u["row_start"], u["row_end"] - u["row_start"] + 1)
+        # Truncate the WIDTH: full row count, wrong shape.
+        wire.send_msg(conn, wire.encode_rows(u["row_start"], rows[:, :7]))
+        # The master answers with a clean done (the frame decoded, so the
+        # stream is synchronized); drain until the connection closes.
+        try:
+            while True:
+                if wire.recv_msg(conn).get("type") == "done":
+                    break
+        except Exception:
+            pass
+        conn.close()
+        srv.close()
+
+    threading.Thread(target=bad_width_node, daemon=True).start()
+    assert ready.wait(timeout=10)
+
+    class Slow:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def render_rows(self, row0, n_rows):
+            _time.sleep(0.02)
+            return self._inner.render_rows(row0, n_rows)
+
+    net = NetworkWorker(f"127.0.0.1:{port}")
+    local = LocalWorker(renderer_factory=lambda job: Slow(tiny_factory(job)))
+    manager = RenderManager([net.handle(), local.handle()])
+    builder = ImageBuilder(output_dir=str(tmp_path))
+    handle = manager.schedule_job(sd, cfg, builder.sender())
+    assert handle.wait(timeout=180)
+    assert handle.ok, handle.error
+    assert builder.wait_finished(timeout=60)
+    img = builder.get_image()
+    assert img.complete()
+    ref = Renderer(sd, 2, 2, seed=4, target_lanes=1 << 16).render_image()
+    np.testing.assert_array_equal(img.pixels, ref)
+
+    manager.stop()
+    local.stop()

@@ -113,3 +113,53 @@ def test_interleaved_rows_shards_uneven(devices8):
     np.testing.assert_allclose(
         mr.render_rows(0, 10), single.render_rows(0, 10), rtol=2e-5, atol=2e-5
     )
+
+
+class TestAutoMeshShape:
+    """pick_mesh_shape / make_mesh(rows_shards=None): sample-only sharding
+    at demo scale; the 'rows' axis engages automatically when an spp-only
+    split would be memory-bound (the reason the axis exists)."""
+
+    def test_demo_scale_stays_sample_only(self):
+        from flux_tpu.parallel.mesh import pick_mesh_shape
+
+        assert pick_mesh_shape(8, 600, 800) == (1, 8)
+        assert pick_mesh_shape(4, 600, 800) == (1, 4)
+        assert pick_mesh_shape(1, 600, 800) == (1, 1)
+
+    def test_tall_frame_engages_rows(self):
+        from flux_tpu.parallel.mesh import ROWS_LANE_BUDGET, pick_mesh_shape
+
+        # A frame whose per-sample wavefront exceeds the budget splits rows
+        # until each device's share fits (or devices run out).
+        rows = 4 * ROWS_LANE_BUDGET // 800
+        r, s = pick_mesh_shape(8, rows, 800)
+        assert r == 4 and s == 2
+        assert rows * 800 // r <= ROWS_LANE_BUDGET
+        # Out of devices: clamps at n_devices.
+        r, s = pick_mesh_shape(2, rows, 800)
+        assert (r, s) == (2, 1)
+
+    def test_make_mesh_auto_uses_hints(self, devices8):
+        from flux_tpu.parallel.mesh import ROWS_LANE_BUDGET
+
+        tall = 4 * ROWS_LANE_BUDGET // 800
+        m = make_mesh(devices8, rows_shards=None, n_rows_hint=tall, n_cols_hint=800)
+        assert m.shape["rows"] == 4 and m.shape["spp"] == 2
+        m2 = make_mesh(devices8, rows_shards=None, n_rows_hint=600, n_cols_hint=800)
+        assert m2.shape["rows"] == 1 and m2.shape["spp"] == 8
+
+    def test_auto_rows_sharded_matches_single_device(self, devices8, monkeypatch):
+        """A frame that triggers automatic row sharding still renders the
+        exact single-device image (budget shrunk so a test-sized frame is
+        'tall')."""
+        import flux_tpu.parallel.mesh as mesh_mod
+
+        sd = scene()  # 32x16
+        monkeypatch.setattr(mesh_mod, "ROWS_LANE_BUDGET", 128)
+        mr = MeshRenderer(sd, sample_root=2, max_depth=3, seed=9, rows_shards=None,
+                          target_lanes=1 << 16)
+        assert mr.mesh.shape["rows"] > 1
+        got = mr.render_image()
+        ref = Renderer(sd, 2, 3, seed=9, target_lanes=1 << 16).render_image()
+        np.testing.assert_array_equal(got, ref)
