@@ -121,18 +121,42 @@ class ProgressiveRenderer:
         accel: Optional[str] = None,
         nee: bool = False,
         physical: bool = False,
+        renderer=None,
     ):
-        self._r = Renderer(
-            scene_data, sample_root, max_depth, seed=seed, target_lanes=target_lanes,
-            accel=accel, nee=nee, physical=physical,
-        )
+        """``renderer`` overrides the default single-device
+        :class:`~flux_tpu.render.Renderer` with any object exposing the
+        ``render_rows_sum_range(row0, n_rows, s0, n, with_stats=True)``
+        surface — in particular a
+        :class:`~flux_tpu.parallel.MeshRenderer`, which runs every pass
+        cooperatively on the whole device mesh.  It must have been built
+        with the SAME (scene, root, depth, seed, nee, physical)
+        configuration; those attributes are read off the renderer so the
+        checkpoint fingerprint stays estimator-exact.
+
+        Bit-exactness across device counts: with ROWS-sharded meshes
+        (spp_shards=1 — the progressive default in the CLI) every pixel's
+        sample reduction runs on exactly one device over the same index
+        range, so accumulators, adaptive-stop statistics, and checkpoints
+        are bit-identical between 1-device and N-device runs and freely
+        interchangeable between them.  spp-sharded meshes stay
+        deterministic for a fixed topology, but the cross-device psum
+        associates the sum differently from a single device — last-ulp
+        differences, statistically identical, not bit-equal across
+        topologies."""
+        if renderer is None:
+            renderer = Renderer(
+                scene_data, sample_root, max_depth, seed=seed,
+                target_lanes=target_lanes, accel=accel, nee=nee,
+                physical=physical,
+            )
+        self._r = renderer
         self.width = self._r.width
         self.height = self._r.height
         self.root = self._r.root
         self.spp = self.root * self.root
         self.fingerprint = _config_fingerprint(
-            scene_data, self.root, max_depth, seed, nee=self._r.nee,
-            physical=self._r.physical,
+            scene_data, self.root, self._r.max_depth, self._r.seed,
+            nee=self._r.nee, physical=self._r.physical,
         )
         self.acc = np.zeros((self.height, self.width, 3), np.float32)
         self.samples_done = 0
@@ -143,6 +167,19 @@ class ProgressiveRenderer:
         # the totals would under-count variance forever, so the adaptive
         # stop signal stays disabled for that render.
         self._stats_valid = True
+
+    @classmethod
+    def from_renderer(cls, renderer, rows_per_band: Optional[int] = None):
+        """Wrap an already-built Renderer / MeshRenderer for progressive
+        accumulation (its scene/sampling configuration is authoritative)."""
+        return cls(
+            renderer.scene_data,
+            renderer.root,
+            renderer.max_depth,
+            seed=renderer.seed,
+            rows_per_band=rows_per_band,
+            renderer=renderer,
+        )
 
     def render_pass(self, n_samples: int) -> int:
         """Accumulate the next ``n_samples`` sample indices across the whole

@@ -142,27 +142,58 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def run_progressive(args, scene) -> int:
-    """Single-host progressive render path (--progressive)."""
+    """Progressive render path (--progressive): single-device, or the whole
+    local device mesh when -t/--rows-shards ask for it — every pass runs
+    cooperatively across the mesh and the accumulated sums are identical
+    either way (counter-based sampling), so checkpoints/adaptive decisions
+    are device-count-independent."""
     import os
+
+    import jax
 
     from .checkpoint import ProgressiveRenderer
     from .image import write_png, write_ppm
 
-    if (args.devices or 1) > 1 or (args.rows_shards or 1) > 1:
-        print(
-            "note: --progressive renders on a single device; "
-            "-t/--rows-shards are ignored here (see NOTES.md)",
-            file=sys.stderr,
+    devices = jax.devices()
+    if args.devices is not None:
+        devices = devices[: max(1, args.devices)]
+    if len(devices) > 1:
+        from .parallel import MeshRenderer, make_mesh
+
+        # Progressive defaults to ROWS-ONLY sharding: every pixel's sample
+        # reduction stays on one device, which makes the accumulated sums —
+        # and therefore checkpoints and adaptive-stop decisions —
+        # bit-identical to a single-device run (an spp split would psum
+        # across devices and drift by the last ulp). An explicit
+        # --rows-shards still buys an spp axis for whoever wants it.
+        rows_shards = args.rows_shards
+        if rows_shards is None:
+            rows_shards, spp_shards = len(devices), 1
+        else:
+            spp_shards = None
+        renderer = MeshRenderer(
+            scene,
+            sample_root=args.root,
+            max_depth=args.depth,
+            seed=args.seed,
+            mesh=make_mesh(devices, rows_shards=rows_shards, spp_shards=spp_shards),
+            accel=args.accel,
+            nee=args.nee,
+            physical=args.physical,
         )
-    pr = ProgressiveRenderer(
-        scene,
-        sample_root=args.root,
-        max_depth=args.depth,
-        seed=args.seed,
-        accel=args.accel,
-        nee=args.nee,
-        physical=args.physical,
-    )
+    else:
+        from .render import Renderer
+
+        renderer = Renderer(
+            scene,
+            sample_root=args.root,
+            max_depth=args.depth,
+            seed=args.seed,
+            accel=args.accel,
+            nee=args.nee,
+            physical=args.physical,
+        )
+    pr = ProgressiveRenderer.from_renderer(renderer)
     if args.resume and args.checkpoint and os.path.exists(args.checkpoint):
         pr.resume(args.checkpoint)
         print(f"resumed at {pr.samples_done}/{pr.spp} spp from {args.checkpoint}")

@@ -50,26 +50,35 @@ def sharded_unit_fn(
     interpret: bool = False,
     accel: str = "sweep",
     physical: bool = False,
+    n_samples: Optional[int] = None,
+    with_stats: bool = False,
 ):
     """Build the jitted SPMD program that renders one work unit on ``mesh``.
 
-    Returns ``fn(scene, cam, row0, seed) -> (n_rows_local * rows_shards,
-    img_w, 3)`` radiance sums over all root² samples, in SHARD order —
-    block ri holds shard ri's strided rows (row0 + ri + k·rows_shards);
-    callers de-interleave (see ``MeshRenderer.render_rows_sum``).
-    ``backend`` selects the per-device compute: the XLA wavefront or the
-    Pallas megakernel (ops/pallas_kernel.py) — collectives are identical
-    either way.
+    Returns ``fn(scene, cam, lights, row0, s0, seed) -> (n_rows_local *
+    rows_shards, img_w, C)`` radiance sums over the ``n_samples`` global
+    sample indices starting at the traced ``s0`` (default: all root², i.e.
+    ``s0=0``), in SHARD order — block ri holds shard ri's strided rows
+    (row0 + ri + k·rows_shards); callers de-interleave (see
+    ``MeshRenderer.render_rows_sum``).  ``with_stats`` appends a fourth
+    channel (C=4): the per-pixel sum of squared sample luminances, the
+    adaptive-sampling noise signal — summed over the 'spp' axis by the same
+    psum as the radiance, which is what lets progressive/adaptive/checkpoint
+    rendering run on the whole mesh.  ``backend`` selects the per-device
+    compute: the XLA wavefront or the Pallas megakernel
+    (ops/pallas_kernel.py) — collectives are identical either way.
     """
     spp = root * root
+    if n_samples is None:
+        n_samples = spp
     spp_shards = mesh.shape["spp"]
-    per_dev = -(-spp // spp_shards)  # ceil: last device masks the overhang
+    per_dev = -(-n_samples // spp_shards)  # ceil: last device masks overhang
     chunk = max(1, min(chunk, per_dev))
     n_chunks = -(-per_dev // chunk)
 
     rows_shards = mesh.shape["rows"]
 
-    def device_fn(scene, cam, lights_v, row0, seed):
+    def device_fn(scene, cam, lights_v, row0, s0, seed):
         ri = jax.lax.axis_index("rows")
         si = jax.lax.axis_index("spp")
         # INTERLEAVED row assignment: shard ri renders rows row0 + ri,
@@ -81,11 +90,13 @@ def sharded_unit_fn(
         # Pixel values are assignment-independent (counter-based RNG), so
         # this is invisible outside; the caller de-interleaves the output.
         my_row0 = jnp.int32(row0) + ri.astype(jnp.int32)
-        base_s0 = si.astype(jnp.uint32) * np.uint32(per_dev)
+        base_s0 = jnp.uint32(s0) + si.astype(jnp.uint32) * np.uint32(per_dev)
         # Mask overhang lanes: beyond this device's range (when chunking
-        # overshoots per_dev) or beyond root² entirely (when spp_shards
-        # doesn't divide root²).
-        s_limit = jnp.minimum(base_s0 + np.uint32(per_dev), np.uint32(spp))
+        # overshoots per_dev) or beyond the requested range entirely (when
+        # spp_shards doesn't divide n_samples).
+        s_limit = jnp.minimum(
+            base_s0 + np.uint32(per_dev), jnp.uint32(s0) + np.uint32(n_samples)
+        )
 
         if backend == "pallas":
             from ..ops.intersect import scan_layout
@@ -112,6 +123,7 @@ def sharded_unit_fn(
                 physical=physical,
                 row_stride=rows_shards,
                 scan_blocks=blocks,
+                with_stats=with_stats,
             )
             return jax.lax.psum(acc, "spp")
 
@@ -144,11 +156,12 @@ def sharded_unit_fn(
                 lights=lights_v,
                 physical=physical,
                 row_stride=rows_shards,
+                with_stats=with_stats,
             )
             return acc + part
 
         acc0 = jax.lax.pcast(
-            jnp.zeros((n_rows_local, img_w, 3), jnp.float32),
+            jnp.zeros((n_rows_local, img_w, 4 if with_stats else 3), jnp.float32),
             ("rows", "spp"),
             to="varying",
         )
@@ -160,7 +173,7 @@ def sharded_unit_fn(
     fn = jax.shard_map(
         device_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P()),
         out_specs=P("rows", None, None),
         # The varying-axes checker cannot yet see through pallas_call's
         # kernel trace (refs vs replicated index constants), so it is
@@ -240,10 +253,13 @@ class MeshRenderer:
         self.interpret = bool(interpret)
         self._fns = {}
 
-    def _unit_fn(self, n_rows_total: int):
+    def _unit_fn(self, n_rows_total: int, n_samples: Optional[int] = None,
+                 with_stats: bool = False):
         rows_shards = self.mesh.shape["rows"]
         n_local = -(-n_rows_total // rows_shards)
-        key = (n_local,)
+        if n_samples == self.root * self.root:
+            n_samples = None  # same compiled program as the full render
+        key = (n_local, n_samples, with_stats)
         if key not in self._fns:
             per_sample_lanes = n_local * self.width
             chunk = max(1, self.target_lanes // max(per_sample_lanes, 1))
@@ -260,15 +276,31 @@ class MeshRenderer:
                     interpret=self.interpret,
                     accel=self.accel,
                     physical=self.physical,
+                    n_samples=n_samples,
+                    with_stats=with_stats,
                 ),
                 n_local,
             )
         return self._fns[key]
 
     def render_rows_sum(self, row0: int, n_rows: int):
-        fn, n_local = self._unit_fn(n_rows)
+        return self._render_sharded(row0, n_rows, 0, None, False)
+
+    def render_rows_sum_range(
+        self, row0: int, n_rows: int, s0: int, n_samples: int, with_stats: bool = False
+    ):
+        """Radiance sum over global sample indices [s0, s0 + n_samples) for
+        a row band, cooperatively across the whole mesh — the same surface
+        as :meth:`flux_tpu.render.Renderer.render_rows_sum_range`, which is
+        what lets :class:`~flux_tpu.checkpoint.ProgressiveRenderer` drive
+        either renderer (progressive/adaptive/checkpoint on all chips)."""
+        return self._render_sharded(row0, n_rows, s0, int(n_samples), with_stats)
+
+    def _render_sharded(self, row0, n_rows, s0, n_samples, with_stats):
+        fn, n_local = self._unit_fn(n_rows, n_samples, with_stats)
         out = fn(
-            self.scene, self.cam, self.lights, np.int32(row0), np.uint32(self.seed)
+            self.scene, self.cam, self.lights, np.int32(row0), np.uint32(s0),
+            np.uint32(self.seed),
         )
         # De-interleave the strided row assignment: the out_spec stacks
         # shard blocks [ri, k] whose global row is row0 + ri + k·R; a
