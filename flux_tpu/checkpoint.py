@@ -43,6 +43,12 @@ def _config_fingerprint(
     checkpoint only resumes into an identical configuration (mixing NEE and
     BSDF-only sample sums would silently blend two estimators)."""
     cfg = {"scene": sd.to_dict(), "root": root, "depth": depth, "seed": seed}
+    # Sample-stream version: bumped whenever the deterministic sampler
+    # construction changes (a resumed accumulator must continue the SAME
+    # stream; blending two streams is statistically fine but silently
+    # breaks the exact-resume guarantee). v2: murmur-finalizer randfloat +
+    # per-depth bounce_point (MJ at depth 1, jittered beyond).
+    cfg["sampler"] = 2
     # Estimator flags enter the hash only when set, so checkpoints written
     # before a flag existed (or with it off) keep their fingerprints.
     if nee:

@@ -42,7 +42,7 @@ import numpy as np
 from ..constants import T_MIN
 from ..scene import SceneArrays
 from ..vec import Vec3
-from .intersect import sphere_t
+from .intersect import quad_a, sphere_t
 
 __all__ = ["BvhArrays", "build_bvh", "sphere_hits_bvh"]
 
@@ -153,8 +153,7 @@ def sphere_hits_bvh(scene: SceneArrays, bvh: BvhArrays, o: Vec3, d: Vec3) -> Sph
     m = bvh.num_nodes
     batch = o.x.shape
 
-    a = d.x * d.x + d.y * d.y + d.z * d.z
-    inv_a = 1.0 / a
+    a, inv_a = quad_a(scene, d)
     # Slab test uses 1/d with IEEE inf semantics (shapes.rs:104-131).
     inv_dx, inv_dy, inv_dz = 1.0 / d.x, 1.0 / d.y, 1.0 / d.z
 

@@ -62,15 +62,38 @@ def sphere_t(o: Vec3, d: Vec3, a, inv_a, cx, cy, cz, radius):
     """The reference's ray-sphere quadratic (shapes.rs:176-211): near root
     preferred, far root accepted when the near one is behind T_MIN. Returns
     (t, valid). The single definition of the hit rule — the unrolled sweep,
-    both scan forms, and the BVH leaf test all fold this."""
+    both scan forms, and the BVH leaf test all fold this.
+
+    ``a is None`` selects the unit-direction form (a == d·d == 1 exactly;
+    see :func:`quad_a`): the reference normalizes every ray direction
+    (trace.rs:50, brdf.rs:26), so its f64 ``a`` IS 1 and dividing by our
+    f32 ``a = 1 ± ulp`` only adds rounding noise — dropping it saves three
+    multiplies per sphere per lane in the hottest loop of the program and
+    preserves T_MIN semantics (t stays in world units)."""
     ocx, ocy, ocz = o.x - cx, o.y - cy, o.z - cz
     b_half = ocx * d.x + ocy * d.y + ocz * d.z
     c = ocx * ocx + ocy * ocy + ocz * ocz - radius * radius
-    disc = b_half * b_half - a * c
-    e = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t_near = (-b_half - e) * inv_a
-    t = jnp.where(t_near > _T_MIN, t_near, (-b_half + e) * inv_a)
+    if a is None:
+        disc = b_half * b_half - c
+        e = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t_near = -b_half - e
+        t = jnp.where(t_near > _T_MIN, t_near, -b_half + e)
+    else:
+        disc = b_half * b_half - a * c
+        e = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t_near = (-b_half - e) * inv_a
+        t = jnp.where(t_near > _T_MIN, t_near, (-b_half + e) * inv_a)
     return t, (disc >= 0.0) & (t > _T_MIN)
+
+
+def quad_a(scene, d: Vec3):
+    """(a, inv_a) for :func:`sphere_t` — (None, None) when the scene
+    guarantees unit ray directions (SceneArrays.unit_d), else the
+    reference's hoisted a = d·d and its reciprocal (shapes.rs:177-187)."""
+    if scene.unit_d:
+        return None, None
+    a = d.x * d.x + d.y * d.y + d.z * d.z
+    return a, 1.0 / a
 
 
 def intersect(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
@@ -82,17 +105,27 @@ def intersect(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
 
     # Material table with the scalar weight folded into the color.
     alb = scene.mat_color * scene.mat_param[:, None]  # (N, 3)
+    # (kind, exponent) packed into ONE f32: the 2-bit material kind rides
+    # the exponent's low mantissa bits (≤ 2-ulp exponent perturbation —
+    # invisible against Monte Carlo noise). One winner-select per shape
+    # instead of two in the hottest loop of the program; decoded once
+    # after the sweep.
+    pe = jax.lax.bitcast_convert_type(
+        (
+            jax.lax.bitcast_convert_type(scene.mat_exp, jnp.uint32)
+            & np.uint32(0xFFFFFFFC)
+        )
+        | scene.mat_kind.astype(jnp.uint32),
+        jnp.float32,
+    )
 
-    # a = d·d (shapes.rs:178). Directions are unit by construction, but the
-    # reference divides by a, so we keep it — hoisted to one reciprocal per
-    # bounce instead of two divides per sphere.
-    a = d.x * d.x + d.y * d.y + d.z * d.z
-    inv_a = 1.0 / a
+    # Unit directions take the a == 1 fast path (see quad_a/sphere_t);
+    # non-unit scenes keep the reference's hoisted a = d·d (shapes.rs:178).
+    a, inv_a = quad_a(scene, d)
 
     best_t = jnp.full(batch, _INF, jnp.float32)
     best_idx = jnp.zeros(batch, jnp.int32)
-    best_kind = jnp.zeros(batch, jnp.int32)
-    best_exp = zeros
+    best_pe = zeros  # packed (kind, exponent) — see ``pe`` above
     best_alb = Vec3(zeros, zeros, zeros)
     # Sphere-normal ingredients: center and invert/radius (0 for planes).
     best_ctr = Vec3(zeros, zeros, zeros)
@@ -100,11 +133,10 @@ def intersect(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
     # Plane normal (authored, not derived from the hit point).
     best_pn = Vec3(zeros, zeros, zeros)
 
-    def take(cond, i, kind_i, exp_i, alb_i, ctr_i, inv_r_i, pn_i):
-        nonlocal best_idx, best_kind, best_exp, best_alb, best_ctr, best_inv_r, best_pn
+    def take(cond, i, pe_i, alb_i, ctr_i, inv_r_i, pn_i):
+        nonlocal best_idx, best_pe, best_alb, best_ctr, best_inv_r, best_pn
         best_idx = jnp.where(cond, np.int32(i), best_idx)
-        best_kind = jnp.where(cond, kind_i, best_kind)
-        best_exp = jnp.where(cond, exp_i, best_exp)
+        best_pe = jnp.where(cond, pe_i, best_pe)
         best_alb = vwhere(cond, alb_i, best_alb)
         best_ctr = vwhere(cond, ctr_i, best_ctr)
         best_inv_r = jnp.where(cond, inv_r_i, best_inv_r)
@@ -120,8 +152,7 @@ def intersect(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
         take(
             cond,
             i,
-            scene.mat_kind[i],
-            scene.mat_exp[i],
+            pe[i],
             Vec3(alb[i, 0], alb[i, 1], alb[i, 2]),
             Vec3(cx, cy, cz),
             inv_r,
@@ -142,13 +173,19 @@ def intersect(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
         take(
             cond,
             i,
-            scene.mat_kind[i],
-            scene.mat_exp[i],
+            pe[i],
             Vec3(alb[i, 0], alb[i, 1], alb[i, 2]),
             best_ctr,
             jnp.zeros((), jnp.float32),
             Vec3(nx, ny, nz),
         )
+
+    # Unpack the winner's (kind, exponent).
+    pe_u = jax.lax.bitcast_convert_type(best_pe, jnp.uint32)
+    best_kind = (pe_u & np.uint32(3)).astype(jnp.int32)
+    best_exp = jax.lax.bitcast_convert_type(
+        pe_u & np.uint32(0xFFFFFFFC), jnp.float32
+    )
 
     mask = jnp.isfinite(best_t)
     t_safe = jnp.where(mask, best_t, 0.0)
@@ -367,8 +404,7 @@ def intersect_scan(scene: SceneArrays, o: Vec3, d: Vec3, layout: "ScanLayout" = 
     """
     import jax
 
-    a = d.x * d.x + d.y * d.y + d.z * d.z
-    inv_a = 1.0 / a
+    a, inv_a = quad_a(scene, d)
 
     # Spatially-sorted, NaN-padded blocks (padding spheres can never test
     # valid — a huge finite center is NOT safe, the discriminant is a
@@ -415,8 +451,7 @@ def intersect_scan_carry(scene: SceneArrays, o: Vec3, d: Vec3, layout: "ScanLayo
     """
     import jax
 
-    a = d.x * d.x + d.y * d.y + d.z * d.z
-    inv_a = 1.0 / a
+    a, inv_a = quad_a(scene, d)
     L = layout if layout is not None else scan_layout(scene)
 
     def step(carry, blk):
@@ -549,8 +584,7 @@ def occluded_sweep(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx):
     match the nearest-hit formulation ``hit.shape == exclude_idx`` exactly
     up to floating-point ties (measure-zero for Monte Carlo estimates).
     """
-    a = d.x * d.x + d.y * d.y + d.z * d.z
-    inv_a = 1.0 / a
+    a, inv_a = quad_a(scene, d)
     # Derived from o so the mask inherits o's varying axes under shard_map.
     occ = (o.x * 0.0) > 0.0
     for i in range(scene.num_spheres):
@@ -566,8 +600,7 @@ def occluded_scan(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx, layo
     size; carry is a single bool mask)."""
     import jax
 
-    a = d.x * d.x + d.y * d.y + d.z * d.z
-    inv_a = 1.0 / a
+    a, inv_a = quad_a(scene, d)
     L = layout if layout is not None else scan_layout(scene)
 
     def step(occ, blk):

@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..camera import CameraArrays, primary_rays
 from ..constants import SALT_AA, SALT_BOUNCE, SALT_LENS, SALT_NEE, SALT_NEEPICK
 from ..samplers.hash import hash_combine, randfloat
-from ..samplers.patterns import cmj_point, mj_point
+from ..samplers.patterns import bounce_point, cmj_point
 from ..samplers.warps import to_poisson_disc
 from ..scene import SceneArrays
 from ..vec import Vec3
@@ -95,6 +95,7 @@ def _kernel(
     physical: bool,
     early_exit: bool,
     scan_skip: bool,
+    unit_d: bool,
 ):
     j = pl.program_id(1)
     si = 0
@@ -114,6 +115,7 @@ def _kernel(
 
     # Rebuild the pytree views the shared ops expect (loads are tiny).
     scene = SceneArrays(
+        unit_d=unit_d,
         sphere_center=sphere_c_ref[...],
         sphere_radius=sphere_r_ref[:, 0],
         sphere_invert=sphere_i_ref[:, 0],
@@ -136,9 +138,13 @@ def _kernel(
         adjusted_pixel_size=cam_scalars_ref[0, 3],
     )
 
-    # Lane coordinates: (S_BLK, LANES).
-    row = jnp.broadcast_to(rowcol_ref[0, :][None, :], (s_blk, LANES))
-    col = jnp.broadcast_to(rowcol_ref[1, :][None, :], (s_blk, LANES))
+    # Lane coordinates. Pixel-only values stay (1, LANES): Mosaic pads the
+    # sublane axis of a (1, 128) op to one (8, 128) vreg, so hashing the
+    # per-pixel pattern ids at this shape costs s_blk/8 times less than at
+    # full tile shape — they broadcast up only where a sample-dependent
+    # value enters (inside randfloat/permute).
+    row = rowcol_ref[0, :][None, :]
+    col = rowcol_ref[1, :][None, :]
     s_idx = (
         s0
         + j.astype(jnp.uint32) * np.uint32(s_blk)
@@ -200,6 +206,7 @@ def _kernel(
             finish_scan_carry,
             fold_occluded_block,
             fold_sphere_block,
+            quad_a,
             scan_carry_init,
         )
 
@@ -275,8 +282,7 @@ def _kernel(
             )
 
         def intersect_fn(scene_v, o, d):
-            a = d.x * d.x + d.y * d.y + d.z * d.z
-            inv_a = 1.0 / a
+            a, inv_a = quad_a(scene_v, d)
 
             if scan_skip:
                 inv_dx, inv_dy, inv_dz = 1.0 / d.x, 1.0 / d.y, 1.0 / d.z
@@ -318,8 +324,7 @@ def _kernel(
             # The AABB skip additionally drops blocks no not-yet-occluded
             # lane's shadow ray enters (occ carried in row 11 of the
             # scratch as f32 0/1).
-            a = d.x * d.x + d.y * d.y + d.z * d.z
-            inv_a = 1.0 / a
+            a, inv_a = quad_a(scene_v, d)
 
             def occ_slice(start):
                 ctr = sphere_c_ref[pl.ds(start, SCAN_BLOCK), :]
@@ -365,11 +370,11 @@ def _kernel(
     def make_step(depth):
         def step(st):
             pat = hash_combine(pixel_base, SALT_BOUNCE, np.uint32(depth))
-            bx, by = mj_point(s_idx, root, pat)
+            bx, by = bounce_point(s_idx, root, pat, depth)
             nee_samples = None
             if nee:
                 npat = hash_combine(pixel_base, SALT_NEE, np.uint32(depth))
-                ux, uy = mj_point(s_idx, root, npat)
+                ux, uy = bounce_point(s_idx, root, npat, depth)
                 upick = randfloat(
                     s_idx, hash_combine(pixel_base, SALT_NEEPICK, np.uint32(depth))
                 )
@@ -638,6 +643,7 @@ def render_block_pallas(
         _kernel, img_w=img_w, img_h=img_h, root=root, max_depth=max_depth,
         s_blk=s_blk, accel=accel, with_stats=with_stats, nee=nee,
         physical=physical, early_exit=early_exit, scan_skip=scan_skip,
+        unit_d=scene.unit_d,
     )
     n_state = 15 if nee else 13
     scratch = (

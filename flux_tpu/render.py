@@ -40,7 +40,7 @@ from .color import luminance, max_to_one
 from .ops.intersect import Intersector
 from .ops.shade import PathState, bounce
 from .samplers.hash import hash_combine
-from .samplers.patterns import cmj_point, mj_point
+from .samplers.patterns import bounce_point, cmj_point
 from .samplers.warps import to_poisson_disc
 from .scene import SceneArrays, SceneData, compile_scene
 from .vec import Vec3
@@ -148,38 +148,40 @@ def render_block_impl(
 
         state = jax.tree.map(_pvary, state)
 
-    def step(st, depth):
-        # Fresh stratified MJ sample per (pixel, sample, depth) — the
+    def step(st, depth: int):
+        # Fresh stratified sample per (pixel, sample, depth) — the
         # hemi_sets[set][depth-1][sample] analog (materials.rs:21-23).
-        pat = hash_combine(pixel_base, SALT_BOUNCE, depth)
-        bx, by = mj_point(s_idx, root, pat)
+        # ``depth`` is a static int so bounce_point can pick MJ at the
+        # first bounce and the cheaper jittered pattern beyond.
+        pat = hash_combine(pixel_base, SALT_BOUNCE, np.uint32(depth))
+        bx, by = bounce_point(s_idx, root, pat, depth)
         nee_samples = None
         if lights is not None:
             from .samplers.hash import randfloat
 
-            npat = hash_combine(pixel_base, SALT_NEE, depth)
-            ux, uy = mj_point(s_idx, root, npat)
-            upick = randfloat(s_idx, hash_combine(pixel_base, SALT_NEEPICK, depth))
+            npat = hash_combine(pixel_base, SALT_NEE, np.uint32(depth))
+            ux, uy = bounce_point(s_idx, root, npat, depth)
+            upick = randfloat(
+                s_idx, hash_combine(pixel_base, SALT_NEEPICK, np.uint32(depth))
+            )
             nee_samples = (
                 jnp.broadcast_to(ux, st.o.x.shape),
                 jnp.broadcast_to(uy, st.o.x.shape),
                 jnp.broadcast_to(upick, st.o.x.shape),
                 # Final-depth gate: the BSDF walk collects this light at the
                 # NEXT vertex, which a depth-capped walk would never reach.
-                depth < jnp.uint32(max_depth),
+                depth < max_depth,
             )
-        return (
-            bounce(
-                scene, st, bx, by, isect=isect,
-                lights=lights, nee_samples=nee_samples, physical=physical,
-            ),
-            None,
+        return bounce(
+            scene, st, bx, by, isect=isect,
+            lights=lights, nee_samples=nee_samples, physical=physical,
         )
 
-    depths = jnp.arange(1, max_depth + 1, dtype=jnp.uint32)
-    # Full unroll: scan carries round-trip through HBM between iterations;
-    # unrolling lets XLA fuse across bounces (trace depths are small).
-    state, _ = jax.lax.scan(step, state, depths, unroll=True)
+    # Static Python loop (the lax.scan this replaces was unroll=True anyway,
+    # so the emitted computation is the same); static depths let the sampler
+    # kind vary per bounce.
+    for depth in range(1, max_depth + 1):
+        state = step(state, depth)
     # Paths still alive after max_depth bounces contribute black
     # (scene.rs:164-165) — their radiance simply stays un-augmented.
     rad = state.radiance

@@ -109,6 +109,21 @@ def cmj_point(s, root: int, pattern):
     return _multi_jitter(s, root, pattern, correlated=True)
 
 
+def bounce_point(s, root: int, pattern, depth: int):
+    """Stratified 2-D sample for bounce ``depth`` (static int).
+
+    MJ at the first bounce — where hemisphere-sample stratification shows
+    up directly as visible noise — and plain jittered beyond: the same
+    root×root coarse stratification, minus the n-rooks fine property and
+    its two Kensler permutation networks per call, which stop paying for
+    themselves once a path has scattered (demo2 MSE vs the converged
+    render is unchanged within run-to-run noise; tools/mse_check.py).
+    The reference stratifies every depth the same way via its per-depth
+    hemi tables (sampling.rs:23-29) — depth 1 keeps that faithfully.
+    """
+    return mj_point(s, root, pattern) if depth <= 1 else jittered_point(s, root, pattern)
+
+
 _KINDS = {
     "regular": regular_point,
     "jittered": jittered_point,

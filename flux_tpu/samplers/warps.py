@@ -32,7 +32,13 @@ def to_unit_hemi(x, y, e):
     e = jnp.asarray(e, jnp.float32)
     phi = _TWO_PI * x
     cos_phi = jnp.cos(phi)
-    sin_phi = jnp.sin(phi)
+    # sin from cos instead of a second transcendental: |sin| = √(1−cos²),
+    # sign + for φ in (0, π) i.e. x < ½. This runs once per LANE per BOUNCE
+    # (the hottest transcendental in the kernel); the √ form is exact where
+    # sin ≈ 0 (1−cos² ≈ φ² there) and ~1-ulp elsewhere.
+    sin_phi = jnp.where(x < 0.5, 1.0, -1.0) * jnp.sqrt(
+        jnp.maximum(1.0 - cos_phi * cos_phi, 0.0)
+    )
     cos_theta = jnp.power(jnp.maximum(1.0 - y, 0.0), 1.0 / (e + 1.0))
     sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
     return sin_theta * cos_phi, sin_theta * sin_phi, cos_theta
@@ -82,5 +88,10 @@ def to_poisson_disc(x, y):
             jnp.where(spy != 0.0, 6.0 - safe_div(spx, spy), 0.0),
         ),
     )
+    # phi (pre-scale) lies in [-1, 8) ≙ [-π/4, 2π): sin ≥ 0 exactly on
+    # [0, π), i.e. pre-scale [0, 4).
+    sin_sign = jnp.where((phi >= 0.0) & (phi < 4.0), 1.0, -1.0)
     phi = phi * _QUARTER_PI
-    return r * jnp.cos(phi), r * jnp.sin(phi)
+    cos_phi = jnp.cos(phi)
+    sin_phi = sin_sign * jnp.sqrt(jnp.maximum(1.0 - cos_phi * cos_phi, 0.0))
+    return r * cos_phi, r * sin_phi

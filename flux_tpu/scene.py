@@ -323,6 +323,17 @@ class SceneArrays:
     mat_param: jnp.ndarray  # (Ns+Np,)  f32
     mat_exp: jnp.ndarray  # (Ns+Np,)  f32
     background: jnp.ndarray  # (3,) f32
+    # Static (pytree-aux) flag: every ray direction in this scene is a unit
+    # vector, so the sphere quadratic may take a == d·d == 1 exactly.
+    # Camera rays are normalized (camera.py, matching trace.rs:50), BRDF
+    # lobes emit unit wi from orthonormal frames (ops/brdf.py, matching
+    # brdf.rs:26), and mirror reflection preserves length IFF the surface
+    # normal is unit — sphere normals are unit by construction, so this
+    # holds exactly when every authored plane normal is unit
+    # (compile_scene checks). A non-unit plane normal falls back to the
+    # reference's full a/inv_a quadratic (shapes.rs:177-187), which is
+    # what keeps |wi| drift faithful there.
+    unit_d: bool = True
 
     @property
     def num_spheres(self) -> int:
@@ -338,8 +349,10 @@ import jax.tree_util as _tree_util  # noqa: E402
 
 _tree_util.register_dataclass(
     SceneArrays,
-    data_fields=[f.name for f in dataclasses.fields(SceneArrays)],
-    meta_fields=[],
+    data_fields=[
+        f.name for f in dataclasses.fields(SceneArrays) if f.name != "unit_d"
+    ],
+    meta_fields=["unit_d"],
 )
 
 
@@ -355,7 +368,15 @@ def compile_scene(sd: SceneData) -> SceneArrays:
         return jnp.asarray(a.reshape(shape))
 
     ns, np_ = len(spheres), len(planes)
+    # Unit-direction guarantee: see SceneArrays.unit_d. All stock scenes
+    # author unit plane normals; a scene that doesn't keeps the reference's
+    # exact a = d·d quadratic.
+    unit_d = all(
+        abs(float(np.linalg.norm(np.asarray(p.normal, np.float64))) - 1.0) < 1e-6
+        for p in planes
+    )
     return SceneArrays(
+        unit_d=unit_d,
         sphere_center=arr([s.center for s in spheres], (ns, 3)),
         sphere_radius=arr([s.radius for s in spheres], (ns,)),
         sphere_invert=arr([-1.0 if s.invert else 1.0 for s in spheres], (ns,)),
