@@ -60,6 +60,32 @@ from ..vec import Vec3, dot, frame_about
 __all__ = ["LightArrays", "extract_lights", "sample_light_dirs", "light_emission", "nee_pdf_toward"]
 
 _TWO_PI = np.float32(2.0 * np.pi)
+_HALF_PI = np.float32(np.pi / 2.0)
+
+
+def _acos_conservative(x):
+    """arccos(x) + a hair, in [0, π] — NEVER below the true value.
+
+    Mosaic TPU has no acos lowering, so the clipped-arc construction uses
+    the Abramowitz–Stegun 4.4.45 polynomial (|err| ≤ 6.8e-5 rad) plus a
+    1e-4 pad. Over-covering is the safe direction for an arc that must
+    contain every above-horizon azimuth: sampling a slightly wider arc
+    with the matching density stays unbiased (the sliver below the horizon
+    is masked to zero by the caller), while an under-covering arc would
+    silently drop visible light."""
+    x = jnp.asarray(x, jnp.float32)
+    ax = jnp.abs(x)
+    poly = (
+        np.float32(1.5707288)
+        + ax
+        * (
+            np.float32(-0.2121144)
+            + ax * (np.float32(0.0742610) + ax * np.float32(-0.0187293))
+        )
+    )
+    a = jnp.sqrt(jnp.maximum(1.0 - ax, 0.0)) * poly  # arccos(|x|)
+    a = jnp.where(x < 0.0, np.float32(np.pi) - a, a)
+    return jnp.clip(a + np.float32(1e-4), 0.0, np.float32(np.pi))
 
 
 @dataclass(frozen=True)
@@ -126,7 +152,7 @@ def extract_lights(sd: SceneData):
     )
 
 
-def sample_light_dirs(lights: LightArrays, p: Vec3, ux, uy, upick):
+def sample_light_dirs(lights: LightArrays, p: Vec3, ux, uy, upick, normal: Vec3 = None):
     """Cone-sample a direction from ``p`` toward a light picked with
     probability ``lights.pick`` (power-proportional selection).
 
@@ -138,6 +164,19 @@ def sample_light_dirs(lights: LightArrays, p: Vec3, ux, uy, upick):
     (Vec3) and ``radius`` are the picked light's geometry, so the caller
     can compute the light's own ray-t with the exact same ``sphere_t``
     rule the intersection sweep uses (any-hit shadow rays need t_max).
+
+    ``normal`` (optional) enables PARTIAL-CONE horizon clipping: on each
+    cone ring (fixed polar angle about the light axis) the azimuth is
+    drawn only from the arc above the surface horizon ``normal·d ≥ 0``,
+    and the weight scales by that arc's fraction of the full ring.
+    Per-ring this is uniform sampling of the visible arc with the exactly
+    matching density, so the estimator stays unbiased while the zero
+    outcomes of whole-cone accept/reject vanish — strictly lower variance
+    when a light cone straddles the horizon (grazing lights). The returned
+    ``pdf`` reflects the clipped density. Callers using MIS must pass the
+    SAME convention to the reverse-direction density (nee_pdf_toward has
+    no access to the prior vertex's normal and evaluates the unclipped
+    density, so MIS mode keeps ``normal=None``; see ops/shade.py).
     """
     nl = lights.num_lights
     upick = jnp.asarray(upick)
@@ -179,11 +218,49 @@ def sample_light_dirs(lights: LightArrays, p: Vec3, ux, uy, upick):
     w = dc * (1.0 / jnp.maximum(dist, 1e-12))
     cos_a = 1.0 - jnp.asarray(ux) * (1.0 - cos_max)
     sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
-    phi = _TWO_PI * jnp.asarray(uy)
     # Frame about w (the matte epsilon vector, ops/brdf.py _EM).
     eps = Vec3(jnp.float32(0.0034), jnp.float32(1.0), jnp.float32(0.0071))
     u, v = frame_about(w, eps)
-    cp, sp = jnp.cos(phi), jnp.sin(phi)
+
+    arc_frac = None
+    if normal is None:
+        phi = _TWO_PI * jnp.asarray(uy)
+        cp, sp = jnp.cos(phi), jnp.sin(phi)
+    else:
+        # Horizon clipping per ring: d(φ)·n = sin_a·ρ·cos(φ−φ0) + cos_a·n_w
+        # with n = (n_u, n_v, n_w) in the cone frame, ρ = |(n_u, n_v)| and
+        # φ0 the azimuth of (n_u, n_v). Visible arc: |φ−φ0| ≤ arccos(c) for
+        # c = −cos_a·n_w / (sin_a·ρ) clamped to [−1, 1] (c ≤ −1: whole ring
+        # visible; c ≥ +1: none — weight 0 via arc_frac).
+        #
+        # No atan2/arccos anywhere: Mosaic TPU has no lowering for either
+        # (the megakernel shares this code), so (cos φ0, sin φ0) come
+        # straight from (n_u, n_v)/ρ and the arc half-angle uses
+        # `_acos_conservative`, an over-covering polynomial arccos: the arc
+        # sampled is guaranteed ⊇ the visible arc (never misses visible
+        # light — sub-horizon overshoot is zeroed by the caller's
+        # cosθ > 0 mask, which the matching 1/arc density keeps unbiased).
+        n_u = normal.x * u.x + normal.y * u.y + normal.z * u.z
+        n_v = normal.x * v.x + normal.y * v.y + normal.z * v.z
+        n_w = normal.x * w.x + normal.y * w.y + normal.z * w.z
+        rho = jnp.sqrt(n_u * n_u + n_v * n_v)
+        c = -(cos_a * n_w) / jnp.maximum(sin_a * rho, np.float32(1e-12))
+        # sin_a·ρ ≈ 0 (axis sample or normal ∥ axis): visibility is the
+        # sign of the remaining term cos_a·n_w — the clamp handles it:
+        # n_w > 0 ⇒ c → −inf ⇒ full ring; n_w < 0 ⇒ c → +inf ⇒ empty.
+        phi_lim = _acos_conservative(jnp.clip(c, -1.0, 1.0))
+        arc_frac = phi_lim * np.float32(1.0 / np.pi)
+        # φ = φ0 + δ via angle addition; ρ ∥ axis ⇒ any φ0 serves (full or
+        # empty ring), but it must stay a unit rotation — hence the guard.
+        safe = rho > np.float32(1e-6)
+        inv_rho = 1.0 / jnp.maximum(rho, np.float32(1e-12))
+        c0 = jnp.where(safe, n_u * inv_rho, 1.0)
+        s0 = jnp.where(safe, n_v * inv_rho, 0.0)
+        delta = (2.0 * jnp.asarray(uy) - 1.0) * phi_lim
+        cd, sd = jnp.cos(delta), jnp.sin(delta)
+        cp = c0 * cd - s0 * sd
+        sp = s0 * cd + c0 * sd
+
     d = Vec3(
         sin_a * (cp * u.x + sp * v.x) + cos_a * w.x,
         sin_a * (cp * u.y + sp * v.y) + cos_a * w.y,
@@ -193,6 +270,10 @@ def sample_light_dirs(lights: LightArrays, p: Vec3, ux, uy, upick):
     # weight = L_e / (pick_k · pdf_cone); pdf_cone = 1/(2π(1−cos_max)).
     wgt = _TWO_PI * (1.0 - cos_max) / jnp.maximum(pk, 1e-12)
     wgt = jnp.where(inside, 0.0, wgt)
+    if arc_frac is not None:
+        # Clipped density: pdf_ring is up by π/φ_lim, so the weight scales
+        # by the visible fraction (φ_lim = 0 ⇒ no visible arc ⇒ zero).
+        wgt = wgt * arc_frac
     weight = Vec3(emit[0] * wgt, emit[1] * wgt, emit[2] * wgt)
     pdf = 1.0 / jnp.maximum(wgt, 1e-20)
     return d, weight, sidx, pdf, Vec3(cx, cy, cz), rad

@@ -175,8 +175,16 @@ def bounce(
         from .nee import sample_light_dirs
 
         ux, uy, upick, nee_active = nee_samples
+        # Partial-cone horizon clipping (reference-compatible mode only):
+        # azimuths are drawn from the above-horizon arc of each cone ring,
+        # weighted by the arc fraction — strictly lower variance for lights
+        # straddling the horizon. MIS mode keeps whole-cone sampling: its
+        # reverse density (nee_pdf_toward at the NEXT vertex) has no access
+        # to this vertex's normal, and MIS weights must use one consistent
+        # density on both sides to keep Σw = 1 (unbiasedness).
         ldir, lweight, lidx, pdf_nee, lctr, lrad = sample_light_dirs(
-            lights, hit.point, ux, uy, upick
+            lights, hit.point, ux, uy, upick,
+            normal=None if physical else hit.normal,
         )
         cos_s = dot(hit.normal, ldir)
         # Shadow test. Strategies expose an any-hit primitive (`occluded`):
@@ -187,9 +195,13 @@ def bounce(
         # (plain intersect callables): nearest hit must BE the light.
         occluded = getattr(do_intersect, "occluded", None)
         if occluded is not None:
-            a_sh = dot(ldir, ldir)
+            if scene.unit_d:
+                a_sh = inv_a_sh = None  # cone dirs are unit by construction
+            else:
+                a_sh = dot(ldir, ldir)
+                inv_a_sh = 1.0 / a_sh
             t_l, l_valid = sphere_t(
-                hit.point, ldir, a_sh, 1.0 / a_sh, lctr.x, lctr.y, lctr.z, lrad
+                hit.point, ldir, a_sh, inv_a_sh, lctr.x, lctr.y, lctr.z, lrad
             )
             lit = l_valid & ~occluded(scene, hit.point, ldir, t_l, lidx)
         else:
