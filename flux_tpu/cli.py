@@ -10,8 +10,10 @@ analog: ``--seed`` (deterministic renders — the reference has none),
 ``--output-dir``.
 
 The live preview (``-g``) replaces the reference's SDL window
-(flux/src/main.rs:216-323) with a progressive ``<scene>-preview.png``
-refreshed as work units land, suitable for zero-display TPU hosts.
+(flux/src/main.rs:216-323) with an IN-TERMINAL live view (kitty graphics
+or ANSI half-blocks, flux_tpu/termview.py) drawn in place as work units
+land, plus a progressive ``<scene>-preview.png`` for non-TTY use — both
+suited to zero-display TPU hosts.
 
 Run: ``python -m flux_tpu.cli scenes/demo2.yml -r 128 -d 5``
 """
@@ -198,7 +200,10 @@ def run_progressive(args, scene) -> int:
         pr.resume(args.checkpoint)
         print(f"resumed at {pr.samples_done}/{pr.spp} spp from {args.checkpoint}")
 
+    from .termview import TermPreview
+
     preview_path = os.path.join(args.output_dir, f"{scene.scene_name}-preview.png")
+    term = TermPreview() if args.preview else None
     t0 = time.time()
     while not pr.complete:
         n = pr.render_pass(args.progressive)
@@ -208,7 +213,9 @@ def run_progressive(args, scene) -> int:
         err_s = f", p99 rel stderr {err:.4f}" if err is not None else ""
         print(f"pass done: {done}/{pr.spp} spp ({rate:.1f} Msamples/s{err_s})")
         if args.preview:
-            write_png(preview_path, pr.peek())
+            peek = pr.peek()
+            write_png(preview_path, peek)
+            term.update(peek)
         if args.checkpoint:
             pr.save(args.checkpoint)
         if args.adaptive > 0 and err is not None and err < args.adaptive:
@@ -288,10 +295,16 @@ def _preview_loop(args, scene, manager, builder, job, jobcfg) -> None:
 
     from .image import write_png
 
+    from .termview import TermPreview
+
     preview_path = os.path.join(args.output_dir, f"{scene.scene_name}-preview.png")
     interactive = sys.stdin.isatty()
     if interactive:
         print("preview controls: '+' more samples, '-' fewer, 'q' cancel")
+    # Rows appear incrementally IN the terminal (kitty graphics or ANSI
+    # half-blocks) — the headless stand-in for the reference's SDL window
+    # (flux/src/main.rs:249-322); the PNG file still refreshes alongside.
+    term = TermPreview()
     last = -1.0
     while True:
         if job.wait(timeout=0.5):
@@ -301,7 +314,9 @@ def _preview_loop(args, scene, manager, builder, job, jobcfg) -> None:
             done = float(img.filled_rows.mean())
             if done != last:
                 write_png(preview_path, img)
-                print(f"preview: {done * 100:.0f}% rows done -> {preview_path}")
+                term.update(img.pixels)
+                if term.mode is None:
+                    print(f"preview: {done * 100:.0f}% rows done -> {preview_path}")
                 last = done
         if interactive:
             ready, _, _ = select.select([sys.stdin], [], [], 0)

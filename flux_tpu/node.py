@@ -1,11 +1,19 @@
 """Render-node daemon: serves local TPU devices to a remote master.
 
 Rebuild of flux-node (flux-node/src/main.rs): listens on 0.0.0.0:2000 by
-default, keeps one LocalWorker for the process lifetime (main.rs:160), and
-serves one master connection at a time (serial accept loop, main.rs:96-111).
+default and keeps one LocalWorker for the process lifetime (main.rs:160).
 Per connection: send the WorkerInfo handshake (main.rs:26-31), then dispatch
 ``set_job`` / ``work_unit`` / ``done`` frames into the worker while a
 forwarder thread streams RowsReady results back (main.rs:41-55).
+
+Deviation from the reference, on purpose: the reference accepts ONE master
+at a time (serial accept loop, main.rs:96-111) — a second master hangs in
+``connect`` until the first finishes. Here every master is accepted
+immediately on its own thread; the handshake carries ``busy``/``queued``
+status so the newcomer knows it is waiting, and its job queues behind the
+active one on the shared LocalWorker (whose request queue serializes jobs).
+An idle TPU box refusing work because a long render is already attached was
+a poorer trade here than for the reference's CPU boxes.
 
 This is the cross-DCN fallback path — hosts that don't share a JAX mesh.
 Hosts in one slice should prefer :mod:`flux_tpu.parallel` collectives over
@@ -37,6 +45,10 @@ def handle_client(conn: socket.socket, worker: LocalWorker) -> None:
             "type": "worker_info",
             "num_devices": info.num_devices,
             "platform": info.platform,
+            # Concurrent-master status: a second master connects fine but
+            # its jobs queue behind the active one (see module docstring).
+            "busy": worker.busy,
+            "queued": worker.queued_jobs,
         },
     )
 
@@ -126,10 +138,14 @@ def handle_client(conn: socket.socket, worker: LocalWorker) -> None:
 
 def serve(host: str = "0.0.0.0", port: int = DEFAULT_PORT, *, max_connections=None,
           ready_event: threading.Event = None, devices: int = None) -> None:
-    """Serial accept loop (flux-node/src/main.rs:96-111,141-152).
+    """Accept loop — one thread per master (contrast: the reference serves
+    serially, flux-node/src/main.rs:96-111,141-152).
 
     ``devices`` limits how many local chips the node's renderer drives
-    (the flux-node ``-t`` threads analog); default all."""
+    (the flux-node ``-t`` threads analog); default all.
+    ``max_connections`` bounds how many connections are ACCEPTED in total
+    (tests use it to bound the daemon's life); the daemon exits once they
+    all complete."""
     factory = None
     if devices is not None:
         from . import workers as workers_mod
@@ -141,17 +157,26 @@ def serve(host: str = "0.0.0.0", port: int = DEFAULT_PORT, *, max_connections=No
     srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     srv.bind((host, port))
-    srv.listen(1)
+    srv.listen(8)
     print(f"flux-node-tpu: listening on {host}:{port}")
     if ready_event is not None:
         ready_event.set()
-    served = 0
+    accepted = 0
+    threads = []
     try:
-        while max_connections is None or served < max_connections:
+        while max_connections is None or accepted < max_connections:
             conn, addr = srv.accept()
+            accepted += 1
             d_println(f"node: connection from {addr}")
-            handle_client(conn, worker)
-            served += 1
+            # One thread per master; jobs serialize on the shared worker.
+            t = threading.Thread(
+                target=handle_client, args=(conn, worker),
+                name=f"node-client[{addr}]", daemon=True,
+            )
+            t.start()
+            threads.append(t)
+        for t in threads:
+            t.join()
     finally:
         srv.close()
         worker.stop()

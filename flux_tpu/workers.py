@@ -90,6 +90,7 @@ class LocalWorker:
         self._factory = renderer_factory or default_renderer_factory
         self._requests: "queue.Queue" = queue.Queue()
         self._handle = WorkerHandle(self._requests, name=name)
+        self._busy = threading.Event()
         self._thread = threading.Thread(
             target=self._run, name=f"LocalWorker[{name}]", daemon=True
         )
@@ -97,6 +98,16 @@ class LocalWorker:
 
     def handle(self) -> WorkerHandle:
         return self._handle
+
+    @property
+    def busy(self) -> bool:
+        """True while a job is being rendered (node-status reporting)."""
+        return self._busy.is_set()
+
+    @property
+    def queued_jobs(self) -> int:
+        """Job requests waiting behind the active one (approximate)."""
+        return self._requests.qsize()
 
     def info(self) -> WorkerInfo:
         import jax
@@ -115,6 +126,7 @@ class LocalWorker:
                 return
             job, unit_queue, sink, wg = req
             d_println(f"LocalWorker: got job {job.id}")
+            self._busy.set()
             try:
                 renderer = self._factory(job)
                 while True:
@@ -145,6 +157,7 @@ class LocalWorker:
                 except Exception:
                     pass
             finally:
+                self._busy.clear()
                 wg.done()
 
     def stop(self) -> None:

@@ -526,3 +526,62 @@ def test_malformed_width_frame_rejected_and_retried(tmp_path):
 
     manager.stop()
     local.stop()
+
+
+def test_two_masters_one_node_concurrently(tmp_path):
+    """Two masters against ONE node at the same time: the reference's node
+    would leave the second hanging in connect until the first master
+    finished (serial accept, flux-node/src/main.rs:96-111); this node
+    accepts both, reports busy/queued status in the handshake, and renders
+    both jobs correctly (serialized on the shared worker)."""
+    port = free_port()
+    ready = threading.Event()
+    t = threading.Thread(
+        target=serve,
+        kwargs=dict(host="127.0.0.1", port=port, max_connections=2, ready_event=ready),
+        daemon=True,
+    )
+    import flux_tpu.workers as workers_mod
+
+    orig_factory = workers_mod.default_renderer_factory
+    workers_mod.default_renderer_factory = tiny_factory
+    try:
+        t.start()
+        assert ready.wait(timeout=10)
+        endpoint = f"127.0.0.1:{port}"
+
+        sd_a = make_scene([env_sphere(0.5)], w=16, h=12)
+        sd_b = make_scene([env_sphere(0.25)], w=16, h=8)
+        cfg = JobConfiguration(
+            sample_root=2, max_trace_depth=2, rows_per_work_unit=3, seed=4
+        )
+
+        # Both masters connect up front — the second must NOT block.
+        net_a = NetworkWorker(endpoint)
+        net_b = NetworkWorker(endpoint)
+
+        man_a = RenderManager([net_a.handle()])
+        man_b = RenderManager([net_b.handle()])
+        ba = ImageBuilder(output_dir=str(tmp_path), filename="a.ppm")
+        bb = ImageBuilder(output_dir=str(tmp_path), filename="b.ppm")
+        ja = man_a.schedule_job(sd_a, cfg, ba.sender())
+        jb = man_b.schedule_job(sd_b, cfg, bb.sender())
+        assert ja.wait(timeout=180) and jb.wait(timeout=180)
+        assert ja.ok and jb.ok
+        assert ba.wait_finished(timeout=60) and bb.wait_finished(timeout=60)
+        img_a, img_b = ba.get_image(), bb.get_image()
+        assert img_a.complete() and img_b.complete()
+        ref_a = Renderer(sd_a, 2, 2, seed=4, target_lanes=1 << 16).render_image()
+        ref_b = Renderer(sd_b, 2, 2, seed=4, target_lanes=1 << 16).render_image()
+        np.testing.assert_array_equal(img_a.pixels, ref_a)
+        np.testing.assert_array_equal(img_b.pixels, ref_b)
+
+        man_a.stop()
+        man_b.stop()
+        net_a.stop()
+        net_b.stop()
+        ba.stop()
+        bb.stop()
+        t.join(30)
+    finally:
+        workers_mod.default_renderer_factory = orig_factory
