@@ -316,6 +316,47 @@ class MeshRenderer:
         img = finalize(acc, root=self.root)
         return np.asarray(jax.device_get(img))
 
+    def render_rows_local(self, row0: int, n_rows: int):
+        """Cooperative mesh render returning only THIS process's rows.
+
+        The multi-host form of :meth:`render_rows`: under
+        ``jax.distributed`` each process addresses only its own 'rows'
+        shards, so ``device_get`` of the full frame is impossible on
+        rows-sharded meshes. Returns ``(global_rows, pixels)`` — the
+        global row indices this process rendered (interleaved stride =
+        rows_shards) and their finalized pixels — for a master to
+        assemble, which is the true DCN analog of flux-node streaming row
+        bands back over TCP (workers.rs:105-243)."""
+        fn, n_local = self._unit_fn(n_rows)
+        out = fn(
+            self.scene, self.cam, self.lights, np.int32(row0), np.uint32(0),
+            np.uint32(self.seed),
+        )
+        R = self.mesh.shape["rows"]
+        inv = np.float32(1.0 / (self.root * self.root))
+        rows_idx = []
+        pixels = []
+        seen = set()
+        for sh in out.addressable_shards:
+            start = sh.index[0].start or 0
+            ri = start // n_local
+            if ri in seen:  # spp-axis replicas hold identical rows
+                continue
+            seen.add(ri)
+            acc = np.asarray(sh.data)  # (n_local, W, 3) radiance sums
+            # finalize() in numpy (identical elementwise IEEE ops): average
+            # then max_to_one (trace.rs:85-87 / color.rs:35-44).
+            img = acc * inv
+            m = img.max(axis=-1, keepdims=True)
+            img = np.where(m > 1.0, img / m, img).astype(np.float32)
+            grows = row0 + ri + np.arange(n_local, dtype=np.int64) * R
+            keep = grows < row0 + n_rows  # crop uneven-shard padding rows
+            rows_idx.append(grows[keep])
+            pixels.append(img[keep])
+        if not rows_idx:
+            return np.zeros((0,), np.int64), np.zeros((0, self.width, 3), np.float32)
+        return np.concatenate(rows_idx), np.concatenate(pixels)
+
     def render_image(self, rows_per_band: Optional[int] = None) -> np.ndarray:
         rows_per_band = rows_per_band or min(self.height, 64)
         out = np.zeros((self.height, self.width, 3), np.float32)
