@@ -21,9 +21,21 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# Persistent compilation cache: the suite compiles hundreds of programs
+# (8-device mesh × many shapes); caching them across pytest runs turns a
+# cold ~1 h single-core run into minutes. Subprocess tests inherit the env
+# var. Keyed by backend+program so CPU/TPU entries never collide.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/flux_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Env vars alone are ignored if a pytest plugin imported jax before this
+# conftest ran (config values snapshot the env at import time) — set the
+# config explicitly too.
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402
 
