@@ -85,8 +85,20 @@ def ppm_bytes(pixels: np.ndarray) -> bytes:
     return buf.getvalue().encode()
 
 
+def _ensure_parent(path: str) -> None:
+    """Create the destination directory if missing — `--output-dir` names a
+    directory that need not pre-exist; failing at the END of a long render
+    with FileNotFoundError is the worst possible time."""
+    import os
+
+    parent = os.path.dirname(os.path.abspath(path))
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+
+
 def write_ppm(path: str, img: "Image | np.ndarray") -> None:
     pixels = img.pixels if isinstance(img, Image) else np.asarray(img)
+    _ensure_parent(path)
     with open(path, "wb") as f:
         f.write(ppm_bytes(pixels))
 
@@ -95,6 +107,7 @@ def write_png(path: str, img: "Image | np.ndarray") -> None:
     from PIL import Image as PILImage
 
     pixels = img.pixels if isinstance(img, Image) else np.asarray(img)
+    _ensure_parent(path)
     arr8 = (np.clip(pixels, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
     PILImage.fromarray(arr8, "RGB").save(path)
 

@@ -1,0 +1,565 @@
+"""Float64 oracle renderer — the precision escape hatch (pure NumPy).
+
+The production path is f32 end-to-end, the right TPU trade (PERFORMANCE.md):
+statistical parity with the reference's own f64 output is pinned by
+tests/test_reference_parity.py. What round 1 lacked was an escape hatch for
+the residual risk — "deep scenes / extreme exponents have no f64 check if a
+precision cliff ever appears". This module is that hatch: an independent
+float64 implementation of the exact same semantics, runnable on any scene,
+so a suspected f32 cliff can be audited directly instead of argued about.
+
+Design constraints, in order:
+
+1. **Bitwise-identical sample streams.** All sampler hashing is uint32
+   counter arithmetic (flux_tpu/samplers/hash.py); NumPy reproduces it bit
+   for bit, so every (pixel, sample, depth, purpose) draws the SAME uniform
+   here as on the TPU — any output difference is *arithmetic precision*,
+   never a different Monte Carlo estimate. (Pinned by
+   tests/test_oracle.py::test_sampler_streams_bit_identical.)
+2. **f64 everywhere downstream**, the reference's precision
+   (fluxcore/src/common.rs:26-30): camera basis and rays, the sphere
+   quadratic in the reference's full a/inv_a form (shapes.rs:176-211),
+   plane intersection (shapes.rs:136-151), BRDF frames/warps/flip
+   (brdf.rs:22-71), transport semantics (scene.rs:162-172,
+   materials.rs:24-70), tone map (color.rs:35-44, trace.rs:85-87).
+3. **Obviously equivalent, not fast.** The implementation mirrors the f32
+   modules function by function so equivalence is reviewable line by line;
+   it is vectorized NumPy (a small frame renders in seconds) but makes no
+   other performance concession.
+
+Scope: the BSDF path walk — sweep intersection over spheres + planes, all
+four materials, reference and ``physical`` transport. NEE/MIS estimators are
+out of scope (audit the plain walk; the NEE estimator's own unbiasedness is
+pinned against it by tests/test_nee.py).
+
+Usage::
+
+    from flux_tpu.oracle import oracle_render, precision_audit
+    img64 = oracle_render(scene_data, sample_root=8, max_depth=5, seed=0)
+    report = precision_audit(scene_data, sample_root=8, max_depth=5, seed=0)
+
+``tools/f64_audit.py`` wraps this as a CLI.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from .constants import SALT_AA, SALT_BOUNCE, SALT_LENS, T_MIN
+from .scene import MaterialKind, PlaneData, SceneData, SphereData
+
+__all__ = ["oracle_render", "precision_audit"]
+
+# ---------------------------------------------------------------------------
+# uint32 counter hashing — bit-identical to flux_tpu/samplers/hash.py.
+# ---------------------------------------------------------------------------
+
+
+def _u32(x):
+    return np.asarray(x, np.uint32)
+
+
+def _mix(x):
+    """murmur3-style avalanche finalizer (hash.py:35-43)."""
+    with np.errstate(over="ignore"):
+        x = _u32(x)
+        x = x ^ (x >> np.uint32(16))
+        x = x * np.uint32(0x7FEB352D)
+        x = x ^ (x >> np.uint32(15))
+        x = x * np.uint32(0x846CA68B)
+        x = x ^ (x >> np.uint32(16))
+    return x
+
+
+def _hash_combine(*vals):
+    """hash.py:46-55."""
+    acc = _u32(0x9E3779B9)
+    with np.errstate(over="ignore"):
+        for v in vals:
+            acc = _mix(
+                acc
+                ^ (
+                    _u32(v)
+                    + np.uint32(0x9E3779B9)
+                    + (acc << np.uint32(6))
+                    + (acc >> np.uint32(2))
+                )
+            )
+    return acc
+
+
+def _randfloat(i, p):
+    """hash.py:58-79 — top 24 bits of one avalanche round, scaled to [0,1).
+
+    The f32 path computes ``float32(int32(i >> 8)) * float32(2^-24)``; both
+    factors and the product are exactly representable in f64, so this f64
+    value IS the f32 value — the streams agree bitwise."""
+    v = _mix(_u32(i) ^ _u32(p))
+    return (v >> np.uint32(8)).astype(np.float64) * (1.0 / (1 << 24))
+
+
+def _permute_pow2(i, l: int, p):
+    """Kensler permutation network (hash.py:89-119), bit for bit."""
+    assert l & (l - 1) == 0 and l > 0
+    w = np.uint32(l - 1)
+    with np.errstate(over="ignore"):
+        i = _u32(i)
+        p = _u32(p)
+        i = i ^ p
+        i = i * np.uint32(0xE170893D)
+        i = i ^ (p >> np.uint32(16))
+        i = i ^ ((i & w) >> np.uint32(4))
+        i = i ^ (p >> np.uint32(8))
+        i = i * np.uint32(0x0929EB3F)
+        i = i ^ (p >> np.uint32(23))
+        i = i ^ ((i & w) >> np.uint32(1))
+        i = i * (np.uint32(1) | (p >> np.uint32(27)))
+        i = i * np.uint32(0x6935FA69)
+        i = i ^ ((i & w) >> np.uint32(11))
+        i = i * np.uint32(0x74DCCA23)
+        i = i ^ (p >> np.uint32(2))
+        i = i * np.uint32(0x9E501CC3)
+        i = i ^ ((i & w) >> np.uint32(2))
+        i = i * np.uint32(0xC860A3DF)
+        i = i & w
+        i = i ^ (i >> np.uint32(5))
+        return (i + p) & w
+
+
+# Pattern salts (patterns.py:38-41).
+_SALT_JX = 0x16A3D5C7
+_SALT_JY = 0x2C9F1B4F
+_SALT_PX = 0x51633E2D
+_SALT_PY = 0x68BC21EB
+
+
+def _jittered_point(s, root: int, pattern):
+    """patterns.py:63-71, divisions in f64."""
+    s = _u32(s)
+    i = (s % np.uint32(root)).astype(np.float64)
+    j = (s // np.uint32(root)).astype(np.float64)
+    jx = _randfloat(s, _hash_combine(pattern, _SALT_JX))
+    jy = _randfloat(s, _hash_combine(pattern, _SALT_JY))
+    return (i + jx) / root, (j + jy) / root
+
+
+def _multi_jitter(s, root: int, pattern, correlated: bool):
+    """patterns.py:74-99, divisions in f64."""
+    s = _u32(s)
+    i = s % np.uint32(root)
+    j = s // np.uint32(root)
+    if root > 0 and (root & (root - 1)) == 0:
+        if correlated:
+            px = _hash_combine(pattern, _SALT_PX)
+            py = _hash_combine(pattern, _SALT_PY)
+        else:
+            px = _hash_combine(pattern, _SALT_PX, i)
+            py = _hash_combine(pattern, _SALT_PY, j)
+        fine_x = _permute_pow2(j, root, px).astype(np.float64)
+        fine_y = _permute_pow2(i, root, py).astype(np.float64)
+    else:
+        fine_x = j.astype(np.float64)
+        fine_y = (np.uint32(root - 1) - i).astype(np.float64)
+    jx = _randfloat(s, _hash_combine(pattern, _SALT_JX))
+    jy = _randfloat(s, _hash_combine(pattern, _SALT_JY))
+    x = (i.astype(np.float64) + (fine_x + jx) / root) / root
+    y = (j.astype(np.float64) + (fine_y + jy) / root) / root
+    return x, y
+
+
+def _cmj_point(s, root, pattern):
+    return _multi_jitter(s, root, pattern, correlated=True)
+
+
+def _bounce_point(s, root, pattern, depth):
+    """patterns.py bounce_point: MJ at depth 1, jittered beyond."""
+    if depth <= 1:
+        return _multi_jitter(s, root, pattern, correlated=False)
+    return _jittered_point(s, root, pattern)
+
+
+# ---------------------------------------------------------------------------
+# f64 geometry/warp helpers, mirroring vec.py / samplers/warps.py.
+# ---------------------------------------------------------------------------
+
+
+class _V(NamedTuple):
+    x: np.ndarray
+    y: np.ndarray
+    z: np.ndarray
+
+    def __add__(self, o):
+        return _V(self.x + o.x, self.y + o.y, self.z + o.z)
+
+    def __sub__(self, o):
+        return _V(self.x - o.x, self.y - o.y, self.z - o.z)
+
+    def __mul__(self, s):
+        return _V(self.x * s, self.y * s, self.z * s)
+
+    __rmul__ = __mul__
+
+    def had(self, o):
+        return _V(self.x * o.x, self.y * o.y, self.z * o.z)
+
+
+def _dot(a, b):
+    return a.x * b.x + a.y * b.y + a.z * b.z
+
+
+def _cross(a, b):
+    return _V(
+        a.y * b.z - a.z * b.y, a.z * b.x - a.x * b.z, a.x * b.y - a.y * b.x
+    )
+
+
+def _normalize(a):
+    # IEEE semantics like the f32 path (dead lanes normalize zero vectors;
+    # their inf/nan results are masked out downstream, never observed).
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = 1.0 / np.sqrt(_dot(a, a))
+        return _V(a.x * inv, a.y * inv, a.z * inv)
+
+
+def _vwhere(m, a, b):
+    return _V(np.where(m, a.x, b.x), np.where(m, a.y, b.y), np.where(m, a.z, b.z))
+
+
+def _reflect(d, n):
+    k = 2.0 * _dot(n, d)
+    return _V(d.x - k * n.x, d.y - k * n.y, d.z - k * n.z)
+
+
+def _frame_about(w, eps):
+    """vec.py frame_about: c = normalize(eps × w), c2 = c × w."""
+    c = _normalize(_cross(eps, w))
+    return c, _cross(c, w)
+
+
+def _to_unit_hemi(x, y, e):
+    """warps.py to_unit_hemi in f64 (the transcendental form — the f32
+    path's sin-from-cos rewrite is an identity in exact arithmetic)."""
+    phi = 2.0 * np.pi * x
+    cos_phi, sin_phi = np.cos(phi), np.sin(phi)
+    cos_theta = np.maximum(1.0 - y, 0.0) ** (1.0 / (e + 1.0))
+    sin_theta = np.sqrt(np.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    return sin_theta * cos_phi, sin_theta * sin_phi, cos_theta
+
+
+def _to_poisson_disc(x, y):
+    """warps.py to_poisson_disc (Shirley–Chiu concentric map) in f64."""
+    spx = 2.0 * x - 1.0
+    spy = 2.0 * y - 1.0
+
+    def safe_div(a, b):
+        return a / np.where(b == 0.0, 1.0, b)
+
+    c1 = spx > -spy
+    c2 = spx > spy
+    c3 = spx < spy
+    r = np.where(c1, np.where(c2, spx, spy), np.where(c3, -spx, -spy))
+    phi = np.where(
+        c1,
+        np.where(c2, safe_div(spy, spx), 2.0 - safe_div(spx, spy)),
+        np.where(
+            c3,
+            4.0 + safe_div(spy, spx),
+            np.where(spy != 0.0, 6.0 - safe_div(spx, spy), 0.0),
+        ),
+    )
+    phi = phi * (np.pi / 4.0)
+    return r * np.cos(phi), r * np.sin(phi)
+
+
+# Frame-epsilon vectors (brdf.rs:23,57 via ops/brdf.py:48-49).
+_EM = (0.0034, 1.0, 0.0071)
+_EG = (0.00424, 1.0, 0.00764)
+
+
+# ---------------------------------------------------------------------------
+# The renderer.
+# ---------------------------------------------------------------------------
+
+
+class _Scene(NamedTuple):
+    """f64 SoA scene (compile_scene analog, flux_tpu/scene.py:361-390)."""
+
+    ctr: np.ndarray  # (Ns, 3)
+    rad: np.ndarray  # (Ns,)
+    inv: np.ndarray  # (Ns,)  ±1
+    ppt: np.ndarray  # (Np, 3)
+    pnm: np.ndarray  # (Np, 3)
+    kind: np.ndarray  # (Ns+Np,) int32
+    alb: np.ndarray  # (Ns+Np, 3)  color × param
+    exp: np.ndarray  # (Ns+Np,)
+    bg: np.ndarray  # (3,)
+
+
+def _compile(sd: SceneData) -> _Scene:
+    sph = [s for s in sd.shapes if isinstance(s, SphereData)]
+    pln = [p for p in sd.shapes if isinstance(p, PlaneData)]
+    mats = [s.material for s in sph] + [p.material for p in pln]
+    f64 = lambda v, shape: np.asarray(v, np.float64).reshape(shape)
+    n, m = len(sph), len(pln)
+    return _Scene(
+        ctr=f64([s.center for s in sph], (n, 3)),
+        rad=f64([s.radius for s in sph], (n,)),
+        inv=f64([-1.0 if s.invert else 1.0 for s in sph], (n,)),
+        ppt=f64([p.point for p in pln], (m, 3)),
+        pnm=f64([p.normal for p in pln], (m, 3)),
+        kind=np.asarray([mt.kind for mt in mats], np.int32),
+        alb=f64([mt.color for mt in mats], (n + m, 3))
+        * f64([mt.param for mt in mats], (n + m,))[:, None],
+        exp=f64([mt.exponent for mt in mats], (n + m,)),
+        bg=f64(sd.background, (3,)),
+    )
+
+
+def _intersect(sc: _Scene, o: _V, d: _V):
+    """Nearest-hit sweep in f64 — the reference's full quadratic with the
+    hoisted a = d·d (shapes.rs:176-211; ops/intersect.py:61-101 keeps this
+    form for non-unit scenes, drops a ≡ 1 for unit ones — an identity this
+    oracle's full form audits)."""
+    B = o.x.shape
+    a = _dot(d, d)
+    inv_a = 1.0 / a
+    best_t = np.full(B, np.inf)
+    best_i = np.zeros(B, np.int32)
+    for i in range(sc.ctr.shape[0]):
+        oc = _V(o.x - sc.ctr[i, 0], o.y - sc.ctr[i, 1], o.z - sc.ctr[i, 2])
+        b_half = _dot(oc, d)
+        c = _dot(oc, oc) - sc.rad[i] * sc.rad[i]
+        disc = b_half * b_half - a * c
+        e = np.sqrt(np.maximum(disc, 0.0))
+        t_near = (-b_half - e) * inv_a
+        t = np.where(t_near > T_MIN, t_near, (-b_half + e) * inv_a)
+        cond = (disc >= 0.0) & (t > T_MIN) & (t < best_t)
+        best_t = np.where(cond, t, best_t)
+        best_i = np.where(cond, np.int32(i), best_i)
+    ns = sc.ctr.shape[0]
+    for j in range(sc.ppt.shape[0]):
+        nx, ny, nz = sc.pnm[j]
+        num = (
+            (sc.ppt[j, 0] - o.x) * nx
+            + (sc.ppt[j, 1] - o.y) * ny
+            + (sc.ppt[j, 2] - o.z) * nz
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = num / (d.x * nx + d.y * ny + d.z * nz)
+        cond = (t > T_MIN) & (t < best_t)
+        best_t = np.where(cond, t, best_t)
+        best_i = np.where(cond, np.int32(ns + j), best_i)
+
+    mask = np.isfinite(best_t)
+    t_safe = np.where(mask, best_t, 0.0)
+    point = _V(o.x + t_safe * d.x, o.y + t_safe * d.y, o.z + t_safe * d.z)
+    is_plane = best_i >= ns
+    si = np.where(is_plane, 0, best_i)
+    # Sphere normal (point − c)·invert/r; plane lanes take the authored one.
+    if ns:
+        ctr = _V(*(sc.ctr[si, k] for k in range(3)))
+        inv_r = sc.inv[si] / sc.rad[si]
+        n_sph = (point - ctr) * inv_r
+    else:
+        n_sph = _V(t_safe * 0.0, t_safe * 0.0, t_safe * 0.0)
+    pj = np.where(is_plane, best_i - ns, 0)
+    n_pl = _V(*(sc.pnm[pj, k] for k in range(3))) if sc.ppt.shape[0] else n_sph
+    normal = _vwhere(is_plane, n_pl, n_sph)
+    return mask, best_i, point, normal
+
+
+def _sample_directions(kind, exponent, normal, d, sx, sy, physical):
+    """ops/brdf.py sample_directions in f64."""
+    r = _reflect(d, normal)
+    is_glossy = kind == MaterialKind.GLOSSY
+    is_perfect = kind == MaterialKind.REFLECTIVE
+    e = np.where(is_glossy, exponent, 1.0 if physical else 0.0)
+    hx, hy, hz = _to_unit_hemi(sx, sy, e)
+    w = _vwhere(is_glossy, r, normal)
+    sh = np.broadcast_to(0.0 * w.x, w.x.shape)
+    eps = _vwhere(
+        is_glossy,
+        _V(sh + _EG[0], sh + _EG[1], sh + _EG[2]),
+        _V(sh + _EM[0], sh + _EM[1], sh + _EM[2]),
+    )
+    c, c2 = _frame_about(w, eps)
+    f1 = _vwhere(is_glossy, c, c2)
+    f2 = _vwhere(is_glossy, c2, c)
+    tang = _V(
+        hx * f1.x + hy * f2.x, hx * f1.y + hy * f2.y, hx * f1.z + hy * f2.z
+    )
+    axial = w * hz
+    below = (_dot(normal, tang + axial) < 0.0) & is_glossy
+    wi = tang * np.where(below, -1.0, 1.0) + axial
+    return _vwhere(is_perfect, r, wi)
+
+
+def oracle_render(
+    sd: SceneData,
+    sample_root: int,
+    max_depth: int,
+    seed: int = 0,
+    physical: bool = False,
+    rows_per_band: int = 8,
+) -> np.ndarray:
+    """Render the scene's frame entirely in float64. Returns (H, W, 3) f64.
+
+    Semantics mirror Renderer(backend='xla', accel='sweep', nee=False)
+    sample for sample; see the module docstring for the mirrored pieces.
+    """
+    sc = _compile(sd)
+    W = sd.output_settings.image_width
+    H = sd.output_settings.image_height
+    root = int(sample_root)
+    seed = np.uint32(int(seed) & 0xFFFFFFFF)
+
+    # Camera constants in f64 (camera.py:71-85; basis per scene.rs:22-35).
+    s, cdta = sd.camera_settings, sd.camera_data
+    eye = np.asarray(s.eye, np.float64)
+    w_ax = eye - np.asarray(s.look_at, np.float64)
+    w_ax /= np.linalg.norm(w_ax)
+    u_ax = np.cross(np.asarray(s.up, np.float64), w_ax)
+    u_ax /= np.linalg.norm(u_ax)
+    v_ax = np.cross(w_ax, u_ax)
+    vp_factor = cdta.focal_distance / cdta.view_plane_distance
+    adj_ps = sd.output_settings.pixel_size / cdta.zoom_factor
+
+    out = np.zeros((H, W, 3), np.float64)
+    spp = root * root
+    s_idx = np.arange(spp, dtype=np.uint32)[:, None, None]
+    for row0 in range(0, H, rows_per_band):
+        n_rows = min(rows_per_band, H - row0)
+        row = np.arange(row0, row0 + n_rows, dtype=np.uint32)[None, :, None]
+        col = np.arange(W, dtype=np.uint32)[None, None, :]
+        pixel_base = _hash_combine(seed, row, col)
+
+        ax, ay = _cmj_point(s_idx, root, _hash_combine(pixel_base, SALT_AA))
+        ux, uy = _cmj_point(s_idx, root, _hash_combine(pixel_base, SALT_LENS))
+        lx, ly = _to_poisson_disc(ux, uy)
+
+        # Primary rays (camera.py:88-125, incl. the img_h − row flip).
+        px = adj_ps * (col.astype(np.float64) - W * 0.5 + ax)
+        py = adj_ps * ((H - row.astype(np.float64)) - H * 0.5 + ay)
+        lpx = lx * cdta.lens_radius
+        lpy = ly * cdta.lens_radius
+        dx = px * vp_factor - lpx
+        dy = py * vp_factor - lpy
+        d = _normalize(
+            _V(
+                dx * u_ax[0] + dy * v_ax[0] - cdta.focal_distance * w_ax[0],
+                dx * u_ax[1] + dy * v_ax[1] - cdta.focal_distance * w_ax[1],
+                dx * u_ax[2] + dy * v_ax[2] - cdta.focal_distance * w_ax[2],
+            )
+        )
+        shape = (spp, n_rows, W)
+        o = _V(
+            np.broadcast_to(eye[0] + lpx * u_ax[0] + lpy * v_ax[0], shape).copy(),
+            np.broadcast_to(eye[1] + lpx * u_ax[1] + lpy * v_ax[1], shape).copy(),
+            np.broadcast_to(eye[2] + lpx * u_ax[2] + lpy * v_ax[2], shape).copy(),
+        )
+        d = _V(*(np.broadcast_to(c, shape).copy() for c in d))
+
+        tput = _V(np.ones(shape), np.ones(shape), np.ones(shape))
+        radx = np.zeros(shape)
+        rady = np.zeros(shape)
+        radz = np.zeros(shape)
+        alive = np.ones(shape, bool)
+
+        for depth in range(1, max_depth + 1):
+            # One bounce (ops/shade.py:53-277, NEE arms elided).
+            pat = _hash_combine(pixel_base, SALT_BOUNCE, np.uint32(depth))
+            sx, sy = _bounce_point(s_idx, root, pat, depth)
+            sx = np.broadcast_to(sx, shape)
+            sy = np.broadcast_to(sy, shape)
+
+            mask, sidx, point, normal = _intersect(sc, o, d)
+            if sc.kind.size:
+                kind = sc.kind[sidx]
+                albv = _V(*(sc.alb[sidx, k] for k in range(3)))
+                expo = sc.exp[sidx]
+            else:  # shapeless scene: every lane misses to the background
+                kind = np.full(shape, -1, np.int32)
+                albv = _V(*(np.zeros(shape) for _ in range(3)))
+                expo = np.zeros(shape)
+
+            miss = alive & ~mask
+            is_em = kind == MaterialKind.EMISSIVE
+            emit = alive & mask & is_em & (_dot(normal, d) < 0.0)
+            scatter = alive & mask & ~is_em
+
+            radx += np.where(miss, tput.x * sc.bg[0], 0.0)
+            rady += np.where(miss, tput.y * sc.bg[1], 0.0)
+            radz += np.where(miss, tput.z * sc.bg[2], 0.0)
+            radx += np.where(emit, tput.x * albv.x, 0.0)
+            rady += np.where(emit, tput.y * albv.y, 0.0)
+            radz += np.where(emit, tput.z * albv.z, 0.0)
+
+            wi = _sample_directions(kind, expo, normal, d, sx, sy, physical)
+            new_tput = tput.had(albv)
+            if physical:
+                # Physical glossy walk weight (ops/shade.py:243-254).
+                mirror = _reflect(d, normal)
+                rw = np.maximum(_dot(mirror, wi), 0.0)
+                flipped = _V(
+                    2.0 * rw * mirror.x - wi.x,
+                    2.0 * rw * mirror.y - wi.y,
+                    2.0 * rw * mirror.z - wi.z,
+                )
+                dup = np.where(_dot(normal, flipped) < 0.0, 1.0, 0.0)
+                cos_i = np.maximum(_dot(normal, wi), 0.0)
+                fac = np.where(
+                    kind == MaterialKind.GLOSSY,
+                    (expo + 2.0) / (expo + 1.0) * cos_i / (1.0 + dup),
+                    1.0,
+                )
+                new_tput = new_tput * fac
+            tput = _vwhere(scatter, new_tput, tput)
+            o = _vwhere(scatter, point, o)
+            d = _vwhere(scatter, wi, d)
+            alive = scatter
+
+        acc = np.stack(
+            [radx.sum(axis=0), rady.sum(axis=0), radz.sum(axis=0)], axis=-1
+        )
+        img = acc / spp
+        m = img.max(axis=-1, keepdims=True)
+        out[row0 : row0 + n_rows] = img * np.where(m > 1.0, 1.0 / m, 1.0)
+    return out
+
+
+def precision_audit(
+    sd: SceneData,
+    sample_root: int,
+    max_depth: int,
+    seed: int = 0,
+    physical: bool = False,
+    renderer=None,
+) -> dict:
+    """Render with the f32 production path AND the f64 oracle; report stats.
+
+    The sample streams are bit-identical, so the difference field measures
+    pure arithmetic-precision drift — plus the (measure-zero per pixel, but
+    visible at low spp) samples whose branch decisions flip near f32
+    comparison boundaries. Healthy scenes sit at MC-noise level; a genuine
+    f32 precision cliff shows up as a large, spatially-structured error.
+    """
+    from .render import Renderer
+
+    r = renderer or Renderer(
+        sd, sample_root, max_depth, seed=seed, physical=physical, accel="sweep",
+        backend="xla",
+    )
+    img32 = r.render_image().astype(np.float64)
+    img64 = oracle_render(
+        sd, sample_root, max_depth, seed=seed, physical=physical
+    )
+    diff = np.abs(img32 - img64)
+    return {
+        "mean_abs_diff": float(diff.mean()),
+        "p99_abs_diff": float(np.quantile(diff, 0.99)),
+        "max_abs_diff": float(diff.max()),
+        "f64_mean": float(img64.mean()),
+        "f32_mean": float(img32.mean()),
+    }
