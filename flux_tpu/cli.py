@@ -211,11 +211,16 @@ def run_progressive(args, scene) -> int:
         rate = done * pr.width * pr.height / max(time.time() - t0, 1e-9) / 1e6
         err = pr.max_rel_stderr()
         err_s = f", p99 rel stderr {err:.4f}" if err is not None else ""
-        print(f"pass done: {done}/{pr.spp} spp ({rate:.1f} Msamples/s{err_s})")
+        status = f"pass done: {done}/{pr.spp} spp ({rate:.1f} Msamples/s{err_s})"
+        live_art = args.preview and term.mode is not None
         if args.preview:
             peek = pr.peek()
             write_png(preview_path, peek)
-            term.update(peek)
+            # The status rides the redraw: a bare print() between updates
+            # would break the cursor-up rewind accounting and smear the art.
+            term.update(peek, status=status)
+        if not live_art:
+            print(status)
         if args.checkpoint:
             pr.save(args.checkpoint)
         if args.adaptive > 0 and err is not None and err < args.adaptive:

@@ -352,11 +352,14 @@ class _CompletionTracker:
     leave the unit in the missing set for retry, not punch a silent hole
     in a "successful" image."""
 
-    def __init__(self, sink):
+    def __init__(self, sink, width=None):
         self._sink = sink
         self.round = None
         self.failed_workers = set()
-        self._width = None
+        # The expected row width comes from the job at construction: the
+        # ImageInfo event is emitted on the raw sink before this tracker
+        # exists, so it can never arrive through put() below.
+        self._width = width
 
     def put(self, ev) -> None:
         if isinstance(ev, ImageInfo):
@@ -459,7 +462,9 @@ class RenderManager:
         )
 
         units = job.work_units()
-        tracker = _CompletionTracker(sink)
+        tracker = _CompletionTracker(
+            sink, job.scene_data.output_settings.image_width
+        )
 
         sink.put(
             RenderingStarted(

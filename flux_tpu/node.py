@@ -174,6 +174,10 @@ def serve(host: str = "0.0.0.0", port: int = DEFAULT_PORT, *, max_connections=No
                 name=f"node-client[{addr}]", daemon=True,
             )
             t.start()
+            # Prune finished threads so a long-lived daemon (the
+            # max_connections=None default, where the join loop below is
+            # unreachable) doesn't accumulate one Thread object per master.
+            threads = [x for x in threads if x.is_alive()]
             threads.append(t)
         for t in threads:
             t.join()

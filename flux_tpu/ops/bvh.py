@@ -186,7 +186,13 @@ def sphere_hits_bvh(scene: SceneArrays, bvh: BvhArrays, o: Vec3, d: Vec3) -> Sph
         t_out = jnp.minimum(
             jnp.minimum(jnp.maximum(t1, t2), jnp.maximum(t3, t4)), jnp.maximum(t5, t6)
         )
-        box_hit = (t_in <= t_out) & (t_out > _T_MIN) & (t_in < best_t)
+        # 0·inf NaN guard (same rule as the pallas block skip): a ray with a
+        # zero direction component whose origin sits exactly on a slab plane
+        # yields NaN intervals, and NaN comparisons would read as a miss —
+        # dropping a real hit behind the node. Treat NaN as hit so the skip
+        # stays strictly conservative.
+        nan_slab = jnp.isnan(t_in) | jnp.isnan(t_out)
+        box_hit = nan_slab | ((t_in <= t_out) & (t_out > _T_MIN) & (t_in < best_t))
 
         is_leaf = cnt > 0
         # Leaf: test its (static-capacity) sphere slots against the lane.

@@ -348,7 +348,11 @@ class MeshRenderer:
             # then max_to_one (trace.rs:85-87 / color.rs:35-44).
             img = acc * inv
             m = img.max(axis=-1, keepdims=True)
-            img = np.where(m > 1.0, img / m, img).astype(np.float32)
+            # Reciprocal-multiply, NOT img/m: max_to_one (color.py:29-31)
+            # computes img * (1/m), and f32 x/m vs x*(1/m) can differ by an
+            # ulp — the interchange contract with finalize() is bit-exact.
+            scale = np.where(m > 1.0, np.float32(1.0) / m, np.float32(1.0))
+            img = (img * scale).astype(np.float32)
             grows = row0 + ri + np.arange(n_local, dtype=np.int64) * R
             keep = grows < row0 + n_rows  # crop uneven-shard padding rows
             rows_idx.append(grows[keep])

@@ -128,31 +128,43 @@ class TermPreview:
                 cols, rows = ts.columns, ts.lines
             except (OSError, ValueError, AttributeError):
                 cols, rows = 80, 24
-            max_cols = max_cols or max(cols, 20)
-            max_rows = max_rows or max(rows - 4, 10)
+            # Clamp DOWN to the real terminal: emitting lines wider than the
+            # terminal wraps them, and the cursor-up rewind below counts
+            # logical lines, not wrapped physical rows.
+            max_cols = max_cols or max(cols, 1)
+            max_rows = max_rows or max(rows - 4, 1)
         self._max_cols = max_cols
         self._max_rows = max_rows
         self._drawn_lines = 0
 
-    def update(self, img: np.ndarray) -> None:
+    def update(self, img: np.ndarray, status: Optional[str] = None) -> None:
+        """Redraw the frame in place; ``status``, if given, is drawn as one
+        extra line under the art and counted in the rewind accounting (a
+        caller print()ing between updates would break it — route per-pass
+        status through here instead)."""
         if self.mode is None:
             return
         s = self._stream
+        tail = ""
+        if status is not None:
+            # One line, clipped to the art budget, cleared to end-of-line so
+            # a shorter status fully replaces a longer previous one.
+            tail = status.replace("\n", " ")[: self._max_cols] + "\x1b[K\n"
         if self.mode == "kitty":
             if self._drawn_lines:
-                s.write("\x1b[1A\r")
+                s.write(f"\x1b[{self._drawn_lines}A\r")
             s.write("\x1b_Ga=d,q=1\x1b\\")  # delete previous image
             s.write(_kitty_payload(img))
-            s.write("\n")
-            self._drawn_lines = 1
+            s.write("\n" + tail)
+            self._drawn_lines = 1 + (1 if status is not None else 0)
             s.flush()
             return
         art = ansi_halfblock(img, self._max_cols, self._max_rows)
         n = art.count("\n") + 1
         if self._drawn_lines:
             s.write(f"\x1b[{self._drawn_lines}A\r")
-        s.write(art + "\x1b[0m\n")
-        self._drawn_lines = n
+        s.write(art + "\x1b[0m\n" + tail)
+        self._drawn_lines = n + (1 if status is not None else 0)
         s.flush()
 
     def close(self) -> None:

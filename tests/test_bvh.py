@@ -157,6 +157,36 @@ class TestTraversalParity:
         np.testing.assert_allclose(t_got[hit], t_ref[hit], rtol=2e-4, atol=2e-4)
         assert (np.asarray(got.index)[hit] == i_ref[hit]).mean() > 0.999
 
+    def test_nan_slab_ray_on_box_plane(self):
+        """0·inf NaN guard (sphere_hits_bvh): a ray with a zero direction
+        component whose origin lies exactly on a node-box plane must not be
+        NaN-dropped — the tangent hit the sweep reports has to survive."""
+        from flux_tpu.genscene import sphere_field as sf
+        from flux_tpu.scene import MaterialData, MaterialKind, SceneData, SphereData
+
+        base = sf(4, 0, width=8, height=8)
+        mat = MaterialData(kind=MaterialKind.MATTE, color=(1.0, 0.0, 0.0))
+        sd = SceneData(
+            scene_name="nan_slab",
+            output_settings=base.output_settings,
+            background=(0.0, 0.0, 0.0),
+            shapes=(SphereData(center=(0.0, 0.0, 0.0), radius=1.0, material=mat),),
+            camera_settings=base.camera_settings,
+            camera_data=base.camera_data,
+        )
+        scene = compile_scene(sd)
+        bvh = build_bvh(np.asarray(scene.sphere_center), np.asarray(scene.sphere_radius))
+        # Origin x == bmax.x == 1 exactly, d.x == 0: slab t = 0*inf = NaN.
+        # The ray grazes the sphere tangentially at (1, 0, 0), t = 3 — the
+        # quadratic has disc == 0 exactly in f32, a real hit per the sweep.
+        o = Vec3(jnp.float32([1.0]), jnp.float32([0.0]), jnp.float32([-3.0]))
+        d = Vec3(jnp.float32([0.0]), jnp.float32([0.0]), jnp.float32([1.0]))
+        ref = jax.jit(intersect)(scene, o, d)
+        got = jax.jit(sphere_hits_bvh)(scene, bvh, o, d)
+        assert bool(np.isfinite(np.asarray(ref.t))[0]), "sweep must see the hit"
+        assert bool(np.isfinite(np.asarray(got.t))[0]), "BVH NaN-dropped the hit"
+        np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t), rtol=1e-6)
+
     def test_rays_from_inside_field(self):
         scene = _random_scene(128, 9)
         bvh = build_bvh(np.asarray(scene.sphere_center), np.asarray(scene.sphere_radius))

@@ -64,6 +64,42 @@ def test_term_preview_inplace_redraw():
     assert second.startswith("\x1b[") and "A\r" in second[:8]
 
 
+def test_term_preview_status_line_accounting():
+    """A status line rides the redraw: it is drawn under the art, cleared
+    to end-of-line, and counted in the cursor-up rewind so the next frame
+    fully repaints over it (cli.py routes per-pass status through here)."""
+    out = FakeTty()
+    tp = TermPreview(stream=out, mode="ansi", max_cols=16, max_rows=6)
+    tp.update(grad_image(), status="pass 1/4")
+    first = out.getvalue()
+    assert "pass 1/4" in first and "\x1b[K" in first
+    n_lines = first.count("\n")  # art lines + 1 status line
+    tp.update(grad_image(), status="pass 2/4")
+    second = out.getvalue()[len(first):]
+    # The rewind must cover art + status, i.e. every line the first frame drew.
+    assert second.startswith(f"\x1b[{n_lines}A\r")
+    assert "pass 2/4" in second
+    # Without a status the rewind shrinks by exactly the status line.
+    tp.update(grad_image())
+    third = out.getvalue()[len(first) + len(second):]
+    assert third.startswith(f"\x1b[{n_lines}A\r")
+    tp.update(grad_image())
+    fourth = out.getvalue()[len(first) + len(second) + len(third):]
+    assert fourth.startswith(f"\x1b[{n_lines - 1}A\r")
+
+
+def test_term_preview_kitty_status_line():
+    out = FakeTty()
+    tp = TermPreview(stream=out, mode="kitty")
+    tp.update(grad_image(), status="s1")
+    first = out.getvalue()
+    assert "s1" in first
+    tp.update(grad_image(), status="s2")
+    second = out.getvalue()[len(first):]
+    # Rewind covers the image line + the status line.
+    assert second.startswith("\x1b[2A\r")
+
+
 def test_term_preview_noop_without_tty():
     out = FakeTty(tty=False)
     tp = TermPreview(stream=out, mode="auto")
