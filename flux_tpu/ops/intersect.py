@@ -37,7 +37,7 @@ from ..scene import SceneArrays
 from ..vec import Vec3
 from ..vec import where as vwhere
 
-__all__ = ["Hit", "Intersector", "ScanLayout", "scan_layout", "intersect", "intersect_bvh", "intersect_scan", "intersect_scan_carry", "occluded_sweep", "occluded_scan"]
+__all__ = ["Hit", "Intersector", "ScanLayout", "scan_layout", "intersect", "intersect_bvh", "intersect_scan", "intersect_scan_carry", "occluded_sweep", "occluded_scan", "triangle_t", "triangle_nearest", "triangle_occluded"]
 
 _T_MIN = np.float32(T_MIN)
 _INF = np.float32(np.inf)
@@ -94,6 +94,174 @@ def quad_a(scene, d: Vec3):
         return None, None
     a = d.x * d.x + d.y * d.y + d.z * d.z
     return a, 1.0 / a
+
+
+def triangle_t(o: Vec3, d: Vec3, v0, e1, e2):
+    """Möller–Trumbore ray–triangle test for one triangle against the whole
+    wavefront. ``v0``/``e1``/``e2`` are length-3 sequences (per-triangle
+    scalars broadcast over lanes). Returns (t, valid).
+
+    No epsilon guard on the determinant: a (near-)degenerate det makes
+    ``inv`` huge or ±inf, and every acceptance path then fails arithmetically
+    (inf fails ``u+v <= 1``; 0·inf = NaN fails every comparison) — the same
+    NaN-rejection discipline the plane test uses for ``den == 0``.
+    Triangles are double-sided, like the reference's planes
+    (shapes.rs:136-151): front/back hits both count, and shading sees the
+    authored (winding) normal either way."""
+    # p = d × e2
+    px = d.y * e2[2] - d.z * e2[1]
+    py = d.z * e2[0] - d.x * e2[2]
+    pz = d.x * e2[1] - d.y * e2[0]
+    det = e1[0] * px + e1[1] * py + e1[2] * pz
+    inv = 1.0 / det
+    sx, sy, sz = o.x - v0[0], o.y - v0[1], o.z - v0[2]
+    u = (sx * px + sy * py + sz * pz) * inv
+    # q = s × e1
+    qx = sy * e1[2] - sz * e1[1]
+    qy = sz * e1[0] - sx * e1[2]
+    qz = sx * e1[1] - sy * e1[0]
+    v = (d.x * qx + d.y * qy + d.z * qz) * inv
+    t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv
+    valid = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > _T_MIN)
+    return t, valid
+
+
+# Triangle count above which the nearest/any-hit folds stream blocks under
+# lax.scan instead of unrolling (the same compile-time wall as the sphere
+# sweep; same cure).
+TRI_UNROLL_MAX = 64
+TRI_BLOCK = 32
+
+
+def _tri_cols(scene: SceneArrays, k):
+    """(v0, e1, e2) column tuples for triangle ``k`` (static index)."""
+    return (
+        tuple(scene.tri_v0[k, c] for c in range(3)),
+        tuple(scene.tri_e1[k, c] for c in range(3)),
+        tuple(scene.tri_e2[k, c] for c in range(3)),
+    )
+
+
+def _tri_blocks(scene: SceneArrays):
+    """NaN-padded (n_blocks, TRI_BLOCK, 3) views of v0/e1/e2 + original
+    index (−1 on padding). NaN v0 makes every comparison false, so padding
+    can never win — the same trick as the sphere ScanLayout."""
+    nt = scene.num_triangles
+    nb = -(-nt // TRI_BLOCK)
+    padn = nb * TRI_BLOCK - nt
+
+    def pad(a, fill):
+        return jnp.concatenate(
+            [a, jnp.full((padn, 3), fill, a.dtype)]
+        ).reshape(nb, TRI_BLOCK, 3)
+
+    idx = jnp.concatenate(
+        [jnp.arange(nt, dtype=jnp.int32), jnp.full((padn,), -1, jnp.int32)]
+    ).reshape(nb, TRI_BLOCK)
+    return pad(scene.tri_v0, np.nan), pad(scene.tri_e1, 0.0), pad(scene.tri_e2, 0.0), idx
+
+
+def triangle_nearest(scene: SceneArrays, o: Vec3, d: Vec3):
+    """Nearest triangle for every lane: (t, k) with t=inf / k=0 on miss.
+    Unrolls small scenes; streams TRI_BLOCK chunks under ``lax.scan`` past
+    TRI_UNROLL_MAX (constant compile time, same VPU math)."""
+    nt = scene.num_triangles
+    # Derived from o.x so the carry inherits its varying axes under
+    # shard_map (same rule as scan_carry_init).
+    best_t = o.x * 0.0 + _INF
+    best_k = (o.x * 0.0).astype(jnp.int32)
+    if nt == 0:
+        return best_t, best_k
+    if nt <= TRI_UNROLL_MAX:
+        for k in range(nt):
+            v0, e1, e2 = _tri_cols(scene, k)
+            t, valid = triangle_t(o, d, v0, e1, e2)
+            cond = valid & (t < best_t)
+            best_t = jnp.where(cond, t, best_t)
+            best_k = jnp.where(cond, np.int32(k), best_k)
+        return best_t, best_k
+
+    bv0, be1, be2, bidx = _tri_blocks(scene)
+
+    def step(carry, blk):
+        bt, bk = carry
+        v0b, e1b, e2b, idx = blk
+        for k in range(TRI_BLOCK):
+            t, valid = triangle_t(
+                o, d,
+                (v0b[k, 0], v0b[k, 1], v0b[k, 2]),
+                (e1b[k, 0], e1b[k, 1], e1b[k, 2]),
+                (e2b[k, 0], e2b[k, 1], e2b[k, 2]),
+            )
+            # Ties keep the lowest original triangle index, matching the
+            # sweep's visit order (common.rs:16-24 tie discipline).
+            cond = valid & ((t < bt) | ((t == bt) & (idx[k] < bk)))
+            bt = jnp.where(cond, t, bt)
+            bk = jnp.where(cond, idx[k], bk)
+        return (bt, bk), None
+
+    (best_t, best_k), _ = jax.lax.scan(step, (best_t, best_k), (bv0, be1, be2, bidx))
+    return best_t, best_k
+
+
+def triangle_occluded(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx, occ):
+    """Fold triangles into an any-hit occlusion mask (the shadow-ray
+    sibling of :func:`triangle_nearest`). ``exclude_idx`` is a full shape
+    index; triangles occupy [Ns+Np, Ns+Np+Nt)."""
+    nt = scene.num_triangles
+    if nt == 0:
+        return occ
+    base = np.int32(scene.num_spheres + scene.num_planes)
+    if nt <= TRI_UNROLL_MAX:
+        for k in range(nt):
+            v0, e1, e2 = _tri_cols(scene, k)
+            t, valid = triangle_t(o, d, v0, e1, e2)
+            occ = occ | (valid & (t < t_max) & (exclude_idx != base + np.int32(k)))
+        return occ
+
+    bv0, be1, be2, bidx = _tri_blocks(scene)
+
+    def step(carry, blk):
+        v0b, e1b, e2b, idx = blk
+        oc = carry
+        for k in range(TRI_BLOCK):
+            t, valid = triangle_t(
+                o, d,
+                (v0b[k, 0], v0b[k, 1], v0b[k, 2]),
+                (e1b[k, 0], e1b[k, 1], e1b[k, 2]),
+                (e2b[k, 0], e2b[k, 1], e2b[k, 2]),
+            )
+            oc = oc | (valid & (t < t_max) & (exclude_idx != base + idx[k]))
+        return oc, None
+
+    occ, _ = jax.lax.scan(step, occ, (bv0, be1, be2, bidx))
+    return occ
+
+
+def _fold_triangles(scene: SceneArrays, o: Vec3, d: Vec3, t, shape_idx, kind, alb, exp):
+    """Combine the triangle winner into the assembled (t, shape, kind,
+    albedo, exponent) record — shared by every XLA intersection path. Also
+    returns ``(use_tri, tri_normal)`` so the caller can fold the normal
+    AFTER computing the hit point (sphere normals derive from it). Ties
+    keep the incumbent: spheres/planes come first in shape order, matching
+    the reference's ``<=``-biased min (common.rs:16-24)."""
+    nt = scene.num_triangles
+    if nt == 0:
+        return t, shape_idx, kind, alb, exp, None, None
+    ns_np = np.int32(scene.num_spheres + scene.num_planes)
+    tr_t, tr_k = triangle_nearest(scene, o, d)
+    use_tri = tr_t < t
+    t = jnp.minimum(t, tr_t)
+    mrow = ns_np + tr_k
+    shape_idx = jnp.where(use_tri, mrow, shape_idx)
+    tn = jnp.take(scene.tri_n, tr_k, axis=0)
+    tri_n = Vec3(tn[..., 0], tn[..., 1], tn[..., 2])
+    kind = jnp.where(use_tri, jnp.take(scene.mat_kind, mrow, axis=0), kind)
+    exp = jnp.where(use_tri, jnp.take(scene.mat_exp, mrow, axis=0), exp)
+    alb_tab = scene.mat_color * scene.mat_param[:, None]
+    ta = jnp.take(alb_tab, mrow, axis=0)
+    alb = vwhere(use_tri, Vec3(ta[..., 0], ta[..., 1], ta[..., 2]), alb)
+    return t, shape_idx, kind, alb, exp, use_tri, tri_n
 
 
 def intersect(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
@@ -187,6 +355,11 @@ def intersect(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
         pe_u & np.uint32(0xFFFFFFFC), jnp.float32
     )
 
+    # Triangles (scene extension; compiled out of triangle-free scenes).
+    best_t, best_idx, best_kind, best_alb, best_exp, use_tri, tri_n = (
+        _fold_triangles(scene, o, d, best_t, best_idx, best_kind, best_alb, best_exp)
+    )
+
     mask = jnp.isfinite(best_t)
     t_safe = jnp.where(mask, best_t, 0.0)
     point = Vec3(o.x + t_safe * d.x, o.y + t_safe * d.y, o.z + t_safe * d.z)
@@ -196,6 +369,8 @@ def intersect(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
     n_sph = (point - best_ctr) * best_inv_r
     is_plane = best_inv_r == 0.0
     normal = vwhere(is_plane, best_pn, n_sph)
+    if use_tri is not None:
+        normal = vwhere(use_tri, tri_n, normal)
 
     return Hit(
         mask=mask,
@@ -235,13 +410,20 @@ def _gather_hit(scene: SceneArrays, o: Vec3, d: Vec3, best_t, sph_idx, use_plane
     """Assemble the Hit record from a winning (sphere index | plane) pair by
     gathering the material table once — shared by the BVH and scan paths."""
     ns = scene.num_spheres
-    mask = jnp.isfinite(best_t)
     shape_idx = jnp.where(use_plane, np.int32(ns) + pl_j, sph_idx)
 
     alb_tab = scene.mat_color * scene.mat_param[:, None]
     kind = jnp.take(scene.mat_kind, shape_idx, axis=0)
     exp = jnp.take(scene.mat_exp, shape_idx, axis=0)
-    alb = jnp.take(alb_tab, shape_idx, axis=0)
+    alb3 = jnp.take(alb_tab, shape_idx, axis=0)
+    alb = Vec3(alb3[..., 0], alb3[..., 1], alb3[..., 2])
+
+    # Triangles (scene extension; compiled out of triangle-free scenes).
+    best_t, shape_idx, kind, alb, exp, use_tri, tri_n = _fold_triangles(
+        scene, o, d, best_t, shape_idx, kind, alb, exp
+    )
+
+    mask = jnp.isfinite(best_t)
     if ns == 0:
         # Sphere-free scene: nothing to gather (every winner is a plane).
         ctr = jnp.zeros(sph_idx.shape + (3,), jnp.float32)
@@ -258,6 +440,8 @@ def _gather_hit(scene: SceneArrays, o: Vec3, d: Vec3, best_t, sph_idx, use_plane
         (point.z - ctr[..., 2]) * inv_r,
     )
     normal = vwhere(use_plane, pl_n, n_sph)
+    if use_tri is not None:
+        normal = vwhere(use_tri, tri_n, normal)
     return Hit(
         mask=mask,
         t=best_t,
@@ -265,7 +449,7 @@ def _gather_hit(scene: SceneArrays, o: Vec3, d: Vec3, best_t, sph_idx, use_plane
         point=point,
         normal=normal,
         kind=kind,
-        albedo=Vec3(alb[..., 0], alb[..., 1], alb[..., 2]),
+        albedo=alb,
         exponent=exp,
     )
 
@@ -520,7 +704,6 @@ def finish_scan_carry(scene: SceneArrays, o: Vec3, d: Vec3, carry) -> Hit:
     pl_t, pl_j, pl_n = _plane_sweep(scene, o, d)
     use_plane = pl_t < best_t
     t = jnp.minimum(best_t, pl_t)
-    mask = jnp.isfinite(t)
     shape_idx = jnp.where(use_plane, np.int32(ns) + pl_j, best_i)
     for j in range(scene.num_planes):
         sel = use_plane & (pl_j == np.int32(j))
@@ -530,10 +713,19 @@ def finish_scan_carry(scene: SceneArrays, o: Vec3, d: Vec3, carry) -> Hit:
         b_alb = vwhere(sel, Vec3(alb_tab[i, 0], alb_tab[i, 1], alb_tab[i, 2]), b_alb)
         b_inv_r = jnp.where(sel, 0.0, b_inv_r)
 
+    # Triangles (scene extension; compiled out of triangle-free scenes —
+    # including every in-kernel reconstruction, whose scenes carry none).
+    t, shape_idx, b_kind, b_alb, b_exp, use_tri, tri_n = _fold_triangles(
+        scene, o, d, t, shape_idx, b_kind, b_alb, b_exp
+    )
+
+    mask = jnp.isfinite(t)
     t_safe = jnp.where(mask, t, 0.0)
     point = Vec3(o.x + t_safe * d.x, o.y + t_safe * d.y, o.z + t_safe * d.z)
     n_sph = (point - b_ctr) * b_inv_r
     normal = vwhere(use_plane, pl_n, n_sph)
+    if use_tri is not None:
+        normal = vwhere(use_tri, tri_n, normal)
     return Hit(
         mask=mask,
         t=t,
@@ -591,7 +783,8 @@ def occluded_sweep(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx):
         cx, cy, cz = (scene.sphere_center[i, k] for k in range(3))
         t, valid = sphere_t(o, d, a, inv_a, cx, cy, cz, scene.sphere_radius[i])
         occ = occ | (valid & (t < t_max) & (exclude_idx != np.int32(i)))
-    return _plane_occluded(scene, o, d, t_max, exclude_idx, occ)
+    occ = _plane_occluded(scene, o, d, t_max, exclude_idx, occ)
+    return triangle_occluded(scene, o, d, t_max, exclude_idx, occ)
 
 
 def occluded_scan(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx, layout: "ScanLayout" = None):
@@ -612,7 +805,8 @@ def occluded_scan(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx, layo
 
     occ0 = (o.x * 0.0) > 0.0
     occ, _ = jax.lax.scan(step, occ0, (L.ctr, L.rad, L.idx))
-    return _plane_occluded(scene, o, d, t_max, exclude_idx, occ)
+    occ = _plane_occluded(scene, o, d, t_max, exclude_idx, occ)
+    return triangle_occluded(scene, o, d, t_max, exclude_idx, occ)
 
 
 @dataclass(frozen=True)

@@ -248,7 +248,15 @@ class MeshRenderer:
         self.nee = self.lights is not None
         self.physical = bool(physical)
         if backend is None:
-            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+            # Triangle geometry lives in the XLA path only (same gate as
+            # Renderer; the megakernel has no triangle fold yet).
+            on_tpu = jax.default_backend() == "tpu"
+            backend = "pallas" if (on_tpu and self.scene.num_triangles == 0) else "xla"
+        if backend == "pallas" and self.scene.num_triangles > 0:
+            raise ValueError(
+                "the pallas megakernel does not implement triangle geometry "
+                "yet; use backend='xla' for scenes with Triangle/Mesh shapes"
+            )
         self.backend = backend
         self.interpret = bool(interpret)
         self._fns = {}

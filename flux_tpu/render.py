@@ -309,16 +309,25 @@ class Renderer:
             # The megakernel wins ~2-4x on TPU hardware; everywhere else
             # (CPU, GPU) its Mosaic TPU lowering cannot run, so only an
             # actual TPU backend selects it. It implements sweep, scan (as
-            # the VMEM carry-style scan) and NEE; BVH traversal lives in
-            # the XLA path only.
+            # the VMEM carry-style scan) and NEE; BVH traversal and
+            # triangle geometry live in the XLA path only.
             on_tpu = jax.default_backend() == "tpu"
-            backend = "pallas" if (on_tpu and self.bvh is None) else "xla"
+            backend = (
+                "pallas"
+                if (on_tpu and self.bvh is None and self.scene.num_triangles == 0)
+                else "xla"
+            )
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
         if backend == "pallas" and self.bvh is not None:
             raise ValueError(
                 "the pallas megakernel does not implement BVH traversal; "
                 "use backend='xla' for accel='bvh'"
+            )
+        if backend == "pallas" and self.scene.num_triangles > 0:
+            raise ValueError(
+                "the pallas megakernel does not implement triangle geometry "
+                "yet; use backend='xla' for scenes with Triangle/Mesh shapes"
             )
         self.backend = backend
 

@@ -27,6 +27,7 @@ __all__ = [
     "MaterialData",
     "SphereData",
     "PlaneData",
+    "TriangleData",
     "CameraSettings",
     "CameraData",
     "OutputSettings",
@@ -184,6 +185,65 @@ class PlaneData:
 
 
 @dataclass(frozen=True)
+class TriangleData:
+    """Triangle shape record — a flux_tpu extension beyond the reference's
+    sphere/plane schema (shapes.rs:68-74 has no mesh geometry). YAML form::
+
+        - Triangle:
+            v0: [x, y, z]
+            v1: [x, y, z]
+            v2: [x, y, z]
+            material: {...}
+
+    The geometric normal is ``normalize((v1-v0)×(v2-v0))`` (counter-
+    clockwise winding) and is used exactly like an authored plane normal:
+    double-sided intersection, no flip toward the ray — the same semantics
+    the reference gives planes (shapes.rs:136-151). A ``Mesh`` variant
+    (``vertices`` + ``faces`` index lists + one material) expands to
+    triangles at load time; ``to_dict`` always writes ``Triangle`` entries,
+    so the canonical wire form is flat triangles."""
+
+    v0: Tuple[float, float, float]
+    v1: Tuple[float, float, float]
+    v2: Tuple[float, float, float]
+    material: MaterialData
+
+    @staticmethod
+    def from_dict(d: dict) -> "TriangleData":
+        return TriangleData(
+            v0=_vec3(d["v0"]),
+            v1=_vec3(d["v1"]),
+            v2=_vec3(d["v2"]),
+            material=MaterialData.from_dict(d["material"]),
+        )
+
+    def to_dict(self) -> dict:
+        return {
+            "Triangle": {
+                "v0": list(self.v0),
+                "v1": list(self.v1),
+                "v2": list(self.v2),
+                "material": self.material.to_dict(),
+            }
+        }
+
+
+def _mesh_to_triangles(body: dict) -> List["TriangleData"]:
+    """Expand a ``Mesh`` shape entry (shared vertex list + integer face
+    triples + one material) into flat :class:`TriangleData` records."""
+    mat = MaterialData.from_dict(body["material"])
+    verts = [_vec3(v) for v in body["vertices"]]
+    tris: List[TriangleData] = []
+    for face in body["faces"]:
+        i, j, k = (int(x) for x in face)
+        n = len(verts)
+        if not (0 <= i < n and 0 <= j < n and 0 <= k < n):
+            raise ValueError(f"mesh face {face} indexes outside {n} vertices")
+        tris.append(TriangleData(v0=verts[i], v1=verts[j], v2=verts[k], material=mat))
+    return tris
+
+
+@dataclass(frozen=True)
 class CameraSettings:
     """Eye / look-at / up (reference: scene.rs:14-18)."""
 
@@ -238,6 +298,10 @@ class SceneData:
                 shapes.append(SphereData.from_dict(body))
             elif name == "Plane":
                 shapes.append(PlaneData.from_dict(body))
+            elif name == "Triangle":
+                shapes.append(TriangleData.from_dict(body))
+            elif name == "Mesh":
+                shapes.extend(_mesh_to_triangles(body))
             else:
                 raise ValueError(f"unknown shape kind {name!r}")
         cs = doc["camera_settings"]
@@ -318,11 +382,18 @@ class SceneArrays:
     sphere_invert: jnp.ndarray  # (Ns,)   f32 (+1 / -1)
     plane_point: jnp.ndarray  # (Np, 3) f32
     plane_normal: jnp.ndarray  # (Np, 3) f32
-    mat_kind: jnp.ndarray  # (Ns+Np,) i32
-    mat_color: jnp.ndarray  # (Ns+Np, 3) f32
-    mat_param: jnp.ndarray  # (Ns+Np,)  f32
-    mat_exp: jnp.ndarray  # (Ns+Np,)  f32
-    background: jnp.ndarray  # (3,) f32
+    # Triangles (a flux_tpu extension; the reference has no mesh geometry).
+    # Precomputed Möller–Trumbore form: v0 + the two edge vectors, plus the
+    # unit geometric normal (counter-clockwise winding, plane semantics).
+    tri_v0: jnp.ndarray = None  # (Nt, 3) f32
+    tri_e1: jnp.ndarray = None  # (Nt, 3) f32  v1 - v0
+    tri_e2: jnp.ndarray = None  # (Nt, 3) f32  v2 - v0
+    tri_n: jnp.ndarray = None  # (Nt, 3) f32  unit normal
+    mat_kind: jnp.ndarray = None  # (Ns+Np+Nt,) i32  (spheres, planes, triangles)
+    mat_color: jnp.ndarray = None  # (Ns+Np+Nt, 3) f32
+    mat_param: jnp.ndarray = None  # (Ns+Np+Nt,)  f32
+    mat_exp: jnp.ndarray = None  # (Ns+Np+Nt,)  f32
+    background: jnp.ndarray = None  # (3,) f32
     # Static (pytree-aux) flag: every ray direction in this scene is a unit
     # vector, so the sphere quadratic may take a == d·d == 1 exactly.
     # Camera rays are normalized (camera.py, matching trace.rs:50), BRDF
@@ -343,6 +414,13 @@ class SceneArrays:
     def num_planes(self) -> int:
         return self.plane_point.shape[0]
 
+    @property
+    def num_triangles(self) -> int:
+        # tri_v0 is None when the scene was built by a pre-triangle caller
+        # (e.g. the megakernel's in-kernel reconstruction, which never sees
+        # triangle scenes — Renderer routes those to the XLA backend).
+        return 0 if self.tri_v0 is None else self.tri_v0.shape[0]
+
 
 # Register as a pytree so SceneArrays flows through jit/shard_map untouched.
 import jax.tree_util as _tree_util  # noqa: E402
@@ -361,13 +439,33 @@ def compile_scene(sd: SceneData) -> SceneArrays:
     scene.rs:128-154)."""
     spheres = [s for s in sd.shapes if isinstance(s, SphereData)]
     planes = [p for p in sd.shapes if isinstance(p, PlaneData)]
-    mats = [s.material for s in spheres] + [p.material for p in planes]
+    tris = [t for t in sd.shapes if isinstance(t, TriangleData)]
+    # Material table order: spheres, planes, triangles. Shape index i maps
+    # to sphere i, plane i-Ns, or triangle i-Ns-Np; keeping triangles LAST
+    # leaves the reference-era sphere/plane indexing untouched.
+    mats = (
+        [s.material for s in spheres]
+        + [p.material for p in planes]
+        + [t.material for t in tris]
+    )
 
     def arr(data, shape, dtype=np.float32):
         a = np.asarray(data, dtype=dtype)
         return jnp.asarray(a.reshape(shape))
 
-    ns, np_ = len(spheres), len(planes)
+    ns, np_, nt = len(spheres), len(planes), len(tris)
+    # Möller–Trumbore precompute (f64 host math, rounded once to f32).
+    v0 = np.asarray([t.v0 for t in tris], np.float64).reshape(nt, 3)
+    v1 = np.asarray([t.v1 for t in tris], np.float64).reshape(nt, 3)
+    v2 = np.asarray([t.v2 for t in tris], np.float64).reshape(nt, 3)
+    e1 = v1 - v0
+    e2 = v2 - v0
+    tn = np.cross(e1, e2)
+    tn_len = np.linalg.norm(tn, axis=1, keepdims=True)
+    if nt and (tn_len == 0.0).any():
+        bad = int(np.argmax(tn_len[:, 0] == 0.0))
+        raise ValueError(f"degenerate triangle (zero-area) at index {bad}")
+    tn = tn / np.maximum(tn_len, 1e-300)
     # Unit-direction guarantee: see SceneArrays.unit_d. All stock scenes
     # author unit plane normals; a scene that doesn't keeps the reference's
     # exact a = d·d quadratic.
@@ -382,9 +480,13 @@ def compile_scene(sd: SceneData) -> SceneArrays:
         sphere_invert=arr([-1.0 if s.invert else 1.0 for s in spheres], (ns,)),
         plane_point=arr([p.point for p in planes], (np_, 3)),
         plane_normal=arr([p.normal for p in planes], (np_, 3)),
-        mat_kind=arr([m.kind for m in mats], (ns + np_,), np.int32),
-        mat_color=arr([m.color for m in mats], (ns + np_, 3)),
-        mat_param=arr([m.param for m in mats], (ns + np_,)),
-        mat_exp=arr([m.exponent for m in mats], (ns + np_,)),
+        tri_v0=arr(v0, (nt, 3)),
+        tri_e1=arr(e1, (nt, 3)),
+        tri_e2=arr(e2, (nt, 3)),
+        tri_n=arr(tn, (nt, 3)),
+        mat_kind=arr([m.kind for m in mats], (ns + np_ + nt,), np.int32),
+        mat_color=arr([m.color for m in mats], (ns + np_ + nt, 3)),
+        mat_param=arr([m.param for m in mats], (ns + np_ + nt,)),
+        mat_exp=arr([m.exponent for m in mats], (ns + np_ + nt,)),
         background=arr(sd.background, (3,)),
     )
