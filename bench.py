@@ -93,6 +93,25 @@ def main():
     except Exception as e:
         extra["spheres512_64spp_scan"] = {"error": repr(e)}
     try:
+        # Triangle-mesh geometry through the megakernel's blocked Morton
+        # triangle fold (PERFORMANCE.md "Triangle meshes" table).
+        from flux_tpu.meshgen import icosphere, mesh_scene
+
+        v, fc = icosphere(3)  # 1280 triangles
+        sd4 = mesh_scene(v, fc, width=W, height=H)
+        r4 = Renderer(sd4, sample_root=4, max_depth=DEPTH, seed=0)
+        r4.render_rows(0, H)
+        t0 = time.time()
+        r4.render_image(rows_per_band=H)
+        w4 = time.time() - t0
+        extra["mesh1280_16spp"] = {
+            "wall_clock_s": round(w4, 2),
+            "msamples_per_s": round(W * H * 16 / w4 / 1e6, 1),
+            "backend": r4.backend,
+        }
+    except Exception as e:
+        extra["mesh1280_16spp"] = {"error": repr(e)}
+    try:
         with open(os.path.join(here, "artifacts", "bench_extra.json"), "w") as f:
             json.dump(extra, f, indent=1)
     except Exception:

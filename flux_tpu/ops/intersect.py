@@ -37,7 +37,7 @@ from ..scene import SceneArrays
 from ..vec import Vec3
 from ..vec import where as vwhere
 
-__all__ = ["Hit", "Intersector", "ScanLayout", "scan_layout", "intersect", "intersect_bvh", "intersect_scan", "intersect_scan_carry", "occluded_sweep", "occluded_scan", "triangle_t", "triangle_nearest", "triangle_occluded"]
+__all__ = ["Hit", "Intersector", "ScanLayout", "scan_layout", "TriLayout", "tri_layout", "intersect", "intersect_bvh", "intersect_scan", "intersect_scan_carry", "occluded_sweep", "occluded_scan", "triangle_t", "triangle_nearest", "triangle_occluded", "tri_carry_init", "fold_tri_block", "fold_tri_occluded_block", "merge_tri_hit"]
 
 _T_MIN = np.float32(T_MIN)
 _INF = np.float32(np.inf)
@@ -569,6 +569,162 @@ def scan_layout(scene: SceneArrays) -> ScanLayout:
     return ScanLayout(
         ctr=ctr, rad=radp, inv_r=inv_rp, kind=kindp, exp=expp, alb=albp,
         idx=idxp, bmin=bmin, bmax=bmax,
+    )
+
+
+# Triangles per megakernel fold step. Must stay a multiple of 8 (Mosaic
+# sublane-dim dynamic slices need 8-alignment); 16 keeps the per-block AABB
+# skip fine-grained — a triangle test costs ~3x a sphere test, so blocks
+# half the sphere SCAN_BLOCK pay for themselves sooner.
+TRI_SCAN_BLOCK = 16
+
+
+class TriLayout(NamedTuple):
+    """Spatially-sorted, TRI_SCAN_BLOCK-padded triangle layout for the
+    megakernel's in-kernel fold — the triangle sibling of :class:`ScanLayout`.
+    Sorting triangles along a Morton curve over their centroids groups
+    spatial neighbors into blocks with tight AABBs, so whole blocks are
+    skipped per tile. Pad entries have NaN ``v0`` (Möller–Trumbore then
+    rejects them arithmetically — see :func:`triangle_t`) and index -1."""
+
+    v0: jnp.ndarray  # (n_blocks, TRI_SCAN_BLOCK, 3) f32
+    e1: jnp.ndarray  # (n_blocks, TRI_SCAN_BLOCK, 3) f32
+    e2: jnp.ndarray  # (n_blocks, TRI_SCAN_BLOCK, 3) f32
+    n: jnp.ndarray  # (n_blocks, TRI_SCAN_BLOCK, 3) f32 unit geometric normal
+    kind: jnp.ndarray  # (n_blocks, TRI_SCAN_BLOCK) i32
+    exp: jnp.ndarray  # (n_blocks, TRI_SCAN_BLOCK) f32
+    alb: jnp.ndarray  # (n_blocks, TRI_SCAN_BLOCK, 3) f32 color x param
+    idx: jnp.ndarray  # (n_blocks, TRI_SCAN_BLOCK) i32 original triangle index
+    bmin: jnp.ndarray  # (n_blocks, 3) f32 per-block AABB
+    bmax: jnp.ndarray  # (n_blocks, 3) f32
+
+    @property
+    def n_blocks(self) -> int:
+        return self.v0.shape[0]
+
+
+def tri_layout(scene: SceneArrays) -> TriLayout:
+    """Build the sorted/padded triangle block layout (see :class:`TriLayout`).
+
+    Material rows are pre-gathered from the flat table exactly as the XLA
+    fold gathers them (``_fold_triangles``: ``mat_color * mat_param`` rows at
+    ``Ns+Np+k``), so the kernel's carried winner fields are bit-identical to
+    the XLA path's gathered ones."""
+    nt = scene.num_triangles
+    base = scene.num_spheres + scene.num_planes
+    centroid = scene.tri_v0 + (scene.tri_e1 + scene.tri_e2) * np.float32(1.0 / 3.0)
+    order = morton_order(centroid)
+    v0 = jnp.take(scene.tri_v0, order, axis=0)
+    e1 = jnp.take(scene.tri_e1, order, axis=0)
+    e2 = jnp.take(scene.tri_e2, order, axis=0)
+    n = jnp.take(scene.tri_n, order, axis=0)
+    kind = jnp.take(scene.mat_kind[base:], order, axis=0)
+    exp = jnp.take(scene.mat_exp[base:], order, axis=0)
+    alb_tab = (scene.mat_color * scene.mat_param[:, None])[base:]
+    alb = jnp.take(alb_tab, order, axis=0)
+
+    n_blocks = max(1, -(-nt // TRI_SCAN_BLOCK))
+    padn = n_blocks * TRI_SCAN_BLOCK - nt
+
+    def pad(a, fill, tail=()):
+        return jnp.concatenate(
+            [a, jnp.full((padn,) + tail, fill, a.dtype)]
+        ).reshape((n_blocks, TRI_SCAN_BLOCK) + tail)
+
+    v0p = pad(v0, np.nan, (3,))
+    e1p = pad(e1, 0.0, (3,))
+    e2p = pad(e2, 0.0, (3,))
+    np_ = pad(n, 0.0, (3,))
+    kindp = pad(kind, 0)
+    expp = pad(exp, 0.0)
+    albp = pad(alb, 0.0, (3,))
+    idxp = pad(order, -1)
+
+    real = (idxp >= 0)[..., None]  # (n_blocks, TRI_SCAN_BLOCK, 1)
+    verts = jnp.stack([v0p, v0p + e1p, v0p + e2p], axis=2)  # (nb, TB, 3, 3)
+    realv = real[..., None, :]
+    lo = jnp.min(jnp.where(realv, verts, jnp.inf), axis=(1, 2)).astype(jnp.float32)
+    hi = jnp.max(jnp.where(realv, verts, -jnp.inf), axis=(1, 2)).astype(jnp.float32)
+    # All-pad blocks carry NaN boxes so the slab test FAILS for them (an
+    # inf/-inf box passes; see scan_layout for the same rule).
+    empty = ~jnp.any(real, axis=1)
+    lo = jnp.where(empty, jnp.nan, lo)
+    hi = jnp.where(empty, jnp.nan, hi)
+    return TriLayout(
+        v0=v0p, e1=e1p, e2=e2p, n=np_, kind=kindp, exp=expp, alb=albp,
+        idx=idxp, bmin=lo, bmax=hi,
+    )
+
+
+def tri_carry_init(like):
+    """Initial (t, index, kind, exp, albedo, normal) triangle-winner carry,
+    derived from ``like`` (a lane-shaped f32, typically ``o.x``) so every
+    field inherits its varying axes under shard_map."""
+    zf = like * 0.0
+    zi = zf.astype(jnp.int32)
+    return (zf + _INF, zi, zi, zf, Vec3(zf, zf, zf), Vec3(zf, zf, zf))
+
+
+def fold_tri_block(o, d, carry, v0, e1, e2, n3, kind, exp, alb, idx):
+    """Fold one TRI_SCAN_BLOCK of triangles into the winner carry.
+    ``v0``/``e1``/``e2``/``n3``/``alb`` are (TRI_SCAN_BLOCK, 3); the rest
+    (TRI_SCAN_BLOCK,). ``idx`` is each entry's ORIGINAL triangle index (the
+    layout is Morton-sorted), and equal-t ties keep the lowest original
+    index — the same discipline as :func:`triangle_nearest`'s blocked form,
+    so winners are identical in any visit order."""
+    bt, bi, b_kind, b_exp, b_alb, b_n = carry
+    for k in range(TRI_SCAN_BLOCK):
+        t, valid = triangle_t(
+            o, d,
+            (v0[k, 0], v0[k, 1], v0[k, 2]),
+            (e1[k, 0], e1[k, 1], e1[k, 2]),
+            (e2[k, 0], e2[k, 1], e2[k, 2]),
+        )
+        cond = valid & ((t < bt) | ((t == bt) & (idx[k] < bi)))
+        bt = jnp.where(cond, t, bt)
+        bi = jnp.where(cond, idx[k], bi)
+        b_kind = jnp.where(cond, kind[k], b_kind)
+        b_exp = jnp.where(cond, exp[k], b_exp)
+        b_alb = vwhere(cond, Vec3(alb[k, 0], alb[k, 1], alb[k, 2]), b_alb)
+        b_n = vwhere(cond, Vec3(n3[k, 0], n3[k, 1], n3[k, 2]), b_n)
+    return (bt, bi, b_kind, b_exp, b_alb, b_n)
+
+
+def fold_tri_occluded_block(o, d, occ, v0, e1, e2, t_max, exclude_idx, idx, base):
+    """Fold one TRI_SCAN_BLOCK of triangles into an any-hit occlusion mask.
+    ``base`` is the scene's triangle shape-index base (Ns+Np), so
+    self-exclusion matches :func:`triangle_occluded` semantics."""
+    for k in range(TRI_SCAN_BLOCK):
+        t, valid = triangle_t(
+            o, d,
+            (v0[k, 0], v0[k, 1], v0[k, 2]),
+            (e1[k, 0], e1[k, 1], e1[k, 2]),
+            (e2[k, 0], e2[k, 1], e2[k, 2]),
+        )
+        occ = occ | (valid & (t < t_max) & (exclude_idx != base + idx[k]))
+    return occ
+
+
+def merge_tri_hit(hit: Hit, o: Vec3, d: Vec3, tri_winner, base) -> Hit:
+    """Merge a triangle-winner carry into a sphere/plane :class:`Hit` —
+    the carried-fold twin of :func:`_fold_triangles` (ties keep the
+    incumbent: spheres/planes come first in shape order). The hit point is
+    recomputed from the combined t with the identical arithmetic, so
+    non-triangle lanes keep their exact bits."""
+    tr_t, tr_i, tr_kind, tr_exp, tr_alb, tr_n = tri_winner
+    use_tri = tr_t < hit.t
+    t = jnp.minimum(hit.t, tr_t)
+    shape = jnp.where(use_tri, np.int32(base) + tr_i, hit.shape)
+    kind = jnp.where(use_tri, tr_kind, hit.kind)
+    exp = jnp.where(use_tri, tr_exp, hit.exponent)
+    alb = vwhere(use_tri, tr_alb, hit.albedo)
+    mask = jnp.isfinite(t)
+    t_safe = jnp.where(mask, t, 0.0)
+    point = Vec3(o.x + t_safe * d.x, o.y + t_safe * d.y, o.z + t_safe * d.z)
+    normal = vwhere(use_tri, tr_n, hit.normal)
+    return Hit(
+        mask=mask, t=t, shape=shape, point=point, normal=normal,
+        kind=kind, albedo=alb, exponent=exp,
     )
 
 

@@ -47,14 +47,20 @@ LANES = 128  # pixel axis
 S_BLK = 64  # default samples per kernel instance (sublane axis)
 
 
-def default_s_blk(accel: str, num_spheres: int) -> int:
+def default_s_blk(accel: str, num_spheres: int, num_triangles: int = 0) -> int:
     """Samples-per-tile heuristic. Smaller tiles buy nothing on the fused
-    sweep (measured: 32/64/128 within noise on demo2) but make the scan's
-    block skip much finer-grained — fewer lanes per any-reduce means more
-    whole-block skips. Measured optima: 512 spheres → 32, 4096 → 16."""
-    if accel != "scan":
-        return S_BLK
-    return 32 if num_spheres <= 2048 else 16
+    sweep (measured: 32/64/128 within noise on demo2) but make the blocked
+    skips much finer-grained — fewer lanes per any-reduce means more
+    whole-block skips. Measured optima: 512 spheres → 32, 4096 → 16; the
+    triangle fold shares the sphere thresholds (same skip mechanism).
+    Tiny meshes (< 256 triangles) keep the full tile — too few blocks for
+    the skip to pay for the smaller-tile overhead."""
+    cands = [S_BLK]
+    if accel == "scan":
+        cands.append(32 if num_spheres <= 2048 else 16)
+    if num_triangles >= 256:
+        cands.append(32 if num_triangles <= 2048 else 16)
+    return min(cands)
 
 
 def _kernel(
@@ -82,8 +88,17 @@ def _kernel(
     light_cdf_ref,  # (L, 1) f32 exclusive prefix sum of pick
     sphere_idx_ref,  # (Ns, 1) i32 sorted-position -> original sphere index
     aabb_ref,  # (n_blocks, 6) f32 SMEM per-block AABBs (scan mode)
+    tri_v0_ref,  # (Nt, 3) f32 triangle v0 (Morton-sorted; dummy (1,3) w/o tris)
+    tri_e1_ref,  # (Nt, 3) f32
+    tri_e2_ref,  # (Nt, 3) f32
+    tri_n_ref,  # (Nt, 3) f32 unit geometric normal
+    tri_kind_ref,  # (Nt, 1) i32
+    tri_exp_ref,  # (Nt, 1) f32
+    tri_alb_ref,  # (Nt, 3) f32 color x param
+    tri_idx_ref,  # (Nt, 1) i32 sorted-position -> original triangle index
+    tri_aabb_ref,  # (n_tri_blocks, 6) f32 SMEM per-block AABBs
     out_ref,  # (8, LANES) f32 block; rows 0..2 = rgb sums
-    *scratch,  # [st_ref when early_exit][scan_ref when scan skip]
+    *scratch,  # [st_ref when early_exit][scan_ref when scan skip][tri_ref when tri]
     img_w: int,
     img_h: int,
     root: int,
@@ -95,6 +110,8 @@ def _kernel(
     physical: bool,
     early_exit: bool,
     scan_skip: bool,
+    tri: bool,
+    tri_skip: bool,
     unit_d: bool,
 ):
     j = pl.program_id(1)
@@ -103,7 +120,11 @@ def _kernel(
     if early_exit:
         st_ref = scratch[si]
         si += 1
-    scan_ref = scratch[si] if scan_skip else None
+    scan_ref = None
+    if scan_skip:
+        scan_ref = scratch[si]
+        si += 1
+    tri_ref = scratch[si] if (tri and tri_skip) else None
 
     @pl.when(j == 0)
     def _init():
@@ -183,7 +204,46 @@ def _kernel(
             cdf=light_cdf_ref[:, 0],
         )
 
-    from .intersect import Intersector
+    from .intersect import Intersector, _T_MIN
+
+    def _alive_mask():
+        # Lanes alive entering the current bounce (early-exit scratch
+        # holds the pre-bounce state; it is written before depth 1).
+        return (st_ref[12, :, :] > 0.0) if st_ref is not None else None
+
+    def _aabb_any_hit(box_ref, i, o, inv_dx, inv_dy, inv_dz, need):
+        """True iff any needed lane's ray enters box_ref[i]'s AABB (slab
+        test, IEEE inf/NaN semantics as in ops/aabb.py). Shared by the
+        sphere scan skip and the triangle fold skip."""
+        # Same slab recipe as ops/aabb.py aabb_hit (inf/NaN handled by
+        # IEEE min/max), but with t0 <= t1 (conservative for degenerate
+        # flat boxes) and a hoisted per-call inverse direction.
+        lox, loy, loz = box_ref[i, 0], box_ref[i, 1], box_ref[i, 2]
+        hix, hiy, hiz = box_ref[i, 3], box_ref[i, 4], box_ref[i, 5]
+        tx0 = (lox - o.x) * inv_dx
+        tx1 = (hix - o.x) * inv_dx
+        ty0 = (loy - o.y) * inv_dy
+        ty1 = (hiy - o.y) * inv_dy
+        tz0 = (loz - o.z) * inv_dz
+        tz1 = (hiz - o.z) * inv_dz
+        t0 = jnp.maximum(
+            jnp.minimum(tx0, tx1),
+            jnp.maximum(jnp.minimum(ty0, ty1), jnp.minimum(tz0, tz1)),
+        )
+        t1 = jnp.minimum(
+            jnp.maximum(tx0, tx1),
+            jnp.minimum(jnp.maximum(ty0, ty1), jnp.maximum(tz0, tz1)),
+        )
+        # 0·inf NaN guard (origin exactly on a slab plane of an axis the
+        # ray is parallel to): jnp.minimum/maximum propagate NaN, which
+        # would read as a MISS here — and a false miss in the skip test
+        # drops real intersections for the whole tile. Treat NaN as hit
+        # so the skip stays strictly conservative.
+        nan = jnp.isnan(t0) | jnp.isnan(t1)
+        hit = nan | ((t0 <= t1) & (t1 > _T_MIN))
+        if need is not None:
+            hit &= need
+        return jnp.any(hit)
 
     intersect_fn = Intersector(mode="sweep")
     if accel == "scan":
@@ -213,44 +273,6 @@ def _kernel(
         n_sph_pad = sphere_c_ref.shape[0]
         assert n_sph_pad % SCAN_BLOCK == 0, "host prep pads to SCAN_BLOCK"
         n_blocks = n_sph_pad // SCAN_BLOCK
-
-        def _alive_mask():
-            # Lanes alive entering the current bounce (early-exit scratch
-            # holds the pre-bounce state; it is written before depth 1).
-            return (st_ref[12, :, :] > 0.0) if st_ref is not None else None
-
-        def _block_hit(i, o, d, inv_dx, inv_dy, inv_dz, need):
-            """True iff any needed lane's ray enters block i's AABB (slab
-            test, IEEE inf/NaN semantics as in ops/aabb.py)."""
-            # Same slab recipe as ops/aabb.py aabb_hit (inf/NaN handled by
-            # IEEE min/max), but with t0 <= t1 (conservative for degenerate
-            # flat boxes) and a hoisted per-call inverse direction.
-            lox, loy, loz = aabb_ref[i, 0], aabb_ref[i, 1], aabb_ref[i, 2]
-            hix, hiy, hiz = aabb_ref[i, 3], aabb_ref[i, 4], aabb_ref[i, 5]
-            tx0 = (lox - o.x) * inv_dx
-            tx1 = (hix - o.x) * inv_dx
-            ty0 = (loy - o.y) * inv_dy
-            ty1 = (hiy - o.y) * inv_dy
-            tz0 = (loz - o.z) * inv_dz
-            tz1 = (hiz - o.z) * inv_dz
-            t0 = jnp.maximum(
-                jnp.minimum(tx0, tx1),
-                jnp.maximum(jnp.minimum(ty0, ty1), jnp.minimum(tz0, tz1)),
-            )
-            t1 = jnp.minimum(
-                jnp.maximum(tx0, tx1),
-                jnp.minimum(jnp.maximum(ty0, ty1), jnp.maximum(tz0, tz1)),
-            )
-            # 0·inf NaN guard (origin exactly on a slab plane of an axis the
-            # ray is parallel to): jnp.minimum/maximum propagate NaN, which
-            # would read as a MISS here — and a false miss in the skip test
-            # drops real intersections for the whole tile. Treat NaN as hit
-            # so the skip stays strictly conservative.
-            nan = jnp.isnan(t0) | jnp.isnan(t1)
-            hit = nan | ((t0 <= t1) & (t1 > _T_MIN))
-            if need is not None:
-                hit &= need
-            return jnp.any(hit)
 
         def _slice_block(start):
             ctr = sphere_c_ref[pl.ds(start, SCAN_BLOCK), :]
@@ -290,7 +312,7 @@ def _kernel(
                 _write_carry(scan_carry_init(o.x))
 
                 def body(i, _):
-                    @pl.when(_block_hit(i, o, d, inv_dx, inv_dy, inv_dz, need))
+                    @pl.when(_aabb_any_hit(aabb_ref, i, o, inv_dx, inv_dy, inv_dz, need))
                     def _fold():
                         ctr, rad, inv_r_b, kind, exp, alb, idx = _slice_block(
                             i * SCAN_BLOCK
@@ -341,7 +363,7 @@ def _kernel(
                     occ_now = scan_ref[11, :, :] > 0.0
                     need = ~occ_now if alive is None else (alive & ~occ_now)
 
-                    @pl.when(_block_hit(i, o, d, inv_dx, inv_dy, inv_dz, need))
+                    @pl.when(_aabb_any_hit(aabb_ref, i, o, inv_dx, inv_dy, inv_dz, need))
                     def _fold():
                         ctr, rad, idx = occ_slice(i * SCAN_BLOCK)
                         occ2 = fold_occluded_block(
@@ -366,6 +388,136 @@ def _kernel(
             return _plane_occluded(scene_v, o, d, t_max, exclude_idx, occ)
 
         intersect_fn.occluded = _occluded_fn
+
+    if tri:
+        # Triangle fold: wrap the sphere/plane strategy with the blocked
+        # Morton triangle scan (ops/intersect.tri_layout). The winner carry
+        # lives in VMEM scratch rows mutated under ``pl.when`` so a block
+        # whose AABB no live lane's ray enters is skipped entirely — the
+        # same form as the sphere block skip. Merge semantics are
+        # _fold_triangles' exactly (ties keep spheres/planes; among
+        # triangles the lowest original index), so radiance stays
+        # bit-identical to the XLA path.
+        from .intersect import (
+            TRI_SCAN_BLOCK,
+            fold_tri_block,
+            fold_tri_occluded_block,
+            merge_tri_hit,
+            tri_carry_init,
+        )
+
+        n_tri_pad = tri_v0_ref.shape[0]
+        assert n_tri_pad % TRI_SCAN_BLOCK == 0, "host prep pads to TRI_SCAN_BLOCK"
+        n_tri_blocks = n_tri_pad // TRI_SCAN_BLOCK
+        # Shape-index base for triangles in the kernel's REBUILT scene
+        # (padded sphere count + plane count): internally consistent with
+        # finish_scan_carry/_plane_occluded's numbering, strictly above any
+        # original sphere index, so NEE light matching and shadow-ray
+        # self-exclusion behave exactly as in the XLA path.
+        tri_base = np.int32(sphere_c_ref.shape[0] + plane_p_ref.shape[0])
+
+        def _tri_slice(start):
+            v0 = tri_v0_ref[pl.ds(start, TRI_SCAN_BLOCK), :]
+            e1 = tri_e1_ref[pl.ds(start, TRI_SCAN_BLOCK), :]
+            e2 = tri_e2_ref[pl.ds(start, TRI_SCAN_BLOCK), :]
+            n3 = tri_n_ref[pl.ds(start, TRI_SCAN_BLOCK), :]
+            kind = tri_kind_ref[pl.ds(start, TRI_SCAN_BLOCK), 0]
+            exp = tri_exp_ref[pl.ds(start, TRI_SCAN_BLOCK), 0]
+            alb = tri_alb_ref[pl.ds(start, TRI_SCAN_BLOCK), :]
+            idx = tri_idx_ref[pl.ds(start, TRI_SCAN_BLOCK), 0]
+            return v0, e1, e2, n3, kind, exp, alb, idx
+
+        def _tri_write(c):
+            bt, bi, kind, exp, alb, n3 = c
+            vals = [
+                bt, bi.astype(jnp.float32), kind.astype(jnp.float32), exp,
+                alb.x, alb.y, alb.z, n3.x, n3.y, n3.z,
+            ]
+            for k, v in enumerate(vals):
+                tri_ref[k, :, :] = jnp.broadcast_to(v, (s_blk, LANES))
+
+        def _tri_read():
+            g = lambda k: tri_ref[k, :, :]
+            return (
+                g(0), g(1).astype(jnp.int32), g(2).astype(jnp.int32), g(3),
+                Vec3(g(4), g(5), g(6)), Vec3(g(7), g(8), g(9)),
+            )
+
+        base_isect = intersect_fn
+        # Bound Intersector method (sweep) or the scan closure's attribute.
+        base_occluded = intersect_fn.occluded
+
+        def _tri_isect(scene_v, o, d):
+            hit = base_isect(scene_v, o, d)
+            if tri_skip:
+                inv_dx, inv_dy, inv_dz = 1.0 / d.x, 1.0 / d.y, 1.0 / d.z
+                need = _alive_mask()
+                _tri_write(tri_carry_init(o.x))
+
+                def body(i, _):
+                    @pl.when(
+                        _aabb_any_hit(tri_aabb_ref, i, o, inv_dx, inv_dy, inv_dz, need)
+                    )
+                    def _fold():
+                        _tri_write(
+                            fold_tri_block(
+                                o, d, _tri_read(), *_tri_slice(i * TRI_SCAN_BLOCK)
+                            )
+                        )
+
+                    return _
+
+                jax.lax.fori_loop(0, n_tri_blocks, body, jnp.int32(0))
+                return merge_tri_hit(hit, o, d, _tri_read(), tri_base)
+
+            def body(i, carry):
+                return fold_tri_block(o, d, carry, *_tri_slice(i * TRI_SCAN_BLOCK))
+
+            carry = jax.lax.fori_loop(0, n_tri_blocks, body, tri_carry_init(o.x))
+            return merge_tri_hit(hit, o, d, carry, tri_base)
+
+        def _tri_occluded(scene_v, o, d, t_max, exclude_idx):
+            occ0 = base_occluded(scene_v, o, d, t_max, exclude_idx)
+            if not tri_skip:
+                def body(i, occ):
+                    v0, e1, e2, n3, kind, exp, alb, idx = _tri_slice(
+                        i * TRI_SCAN_BLOCK
+                    )
+                    return fold_tri_occluded_block(
+                        o, d, occ, v0, e1, e2, t_max, exclude_idx, idx, tri_base
+                    )
+
+                return jax.lax.fori_loop(0, n_tri_blocks, body, occ0)
+            inv_dx, inv_dy, inv_dz = 1.0 / d.x, 1.0 / d.y, 1.0 / d.z
+            alive = _alive_mask()
+            # Row 10 carries the occlusion mask (f32 0/1); the skip drops
+            # blocks no not-yet-occluded live lane's shadow ray enters.
+            tri_ref[10, :, :] = jnp.broadcast_to(
+                occ0.astype(jnp.float32), (s_blk, LANES)
+            )
+
+            def body(i, _):
+                occ_now = tri_ref[10, :, :] > 0.0
+                need = ~occ_now if alive is None else (alive & ~occ_now)
+
+                @pl.when(_aabb_any_hit(tri_aabb_ref, i, o, inv_dx, inv_dy, inv_dz, need))
+                def _fold():
+                    v0, e1, e2, n3, kind, exp, alb, idx = _tri_slice(
+                        i * TRI_SCAN_BLOCK
+                    )
+                    occ2 = fold_tri_occluded_block(
+                        o, d, tri_ref[10, :, :] > 0.0, v0, e1, e2,
+                        t_max, exclude_idx, idx, tri_base,
+                    )
+                    tri_ref[10, :, :] = occ2.astype(jnp.float32)
+
+                return _
+
+            jax.lax.fori_loop(0, n_tri_blocks, body, jnp.int32(0))
+            return tri_ref[10, :, :] > 0.0
+
+        _tri_isect.occluded = _tri_occluded
+        intersect_fn = _tri_isect
 
     def make_step(depth):
         def step(st):
@@ -469,6 +621,7 @@ def _kernel(
         "physical",
         "early_exit",
         "scan_skip",
+        "tri_skip",
         "row_stride",
     ),
 )
@@ -497,6 +650,8 @@ def render_block_pallas(
     scan_skip: bool = True,
     row_stride: int = 1,
     scan_blocks=None,
+    tri_blocks=None,
+    tri_skip: bool = True,
 ):
     """Drop-in replacement for render.render_block (same contract: radiance
     sums over sample indices [s0, s0+n_samples) for a row band).
@@ -616,10 +771,39 @@ def render_block_pallas(
             parts.append(jnp.zeros((1,) + fill_shape_tail, sph_rows.dtype))
         return jnp.concatenate(parts, axis=0)
 
-    mat_kind = mats(sph_kind, scene.mat_kind[n_sph_real:])
-    mat_color = mats(sph_color, scene.mat_color[n_sph_real:], (3,))
-    mat_param = mats(sph_param, scene.mat_param[n_sph_real:])
-    mat_exp = mats(sph_exp, scene.mat_exp[n_sph_real:])
+    # Plane rows only: triangle rows sit past the planes in the flat table
+    # and travel separately via the TriLayout refs.
+    pl_lo, pl_hi = n_sph_real, n_sph_real + scene.num_planes
+    mat_kind = mats(sph_kind, scene.mat_kind[pl_lo:pl_hi])
+    mat_color = mats(sph_color, scene.mat_color[pl_lo:pl_hi], (3,))
+    mat_param = mats(sph_param, scene.mat_param[pl_lo:pl_hi])
+    mat_exp = mats(sph_exp, scene.mat_exp[pl_lo:pl_hi])
+
+    # Triangles: Morton-sorted TRI_SCAN_BLOCK layout (ops/intersect.py);
+    # dummies keep the kernel ABI fixed for triangle-free scenes.
+    tri = scene.num_triangles > 0
+    if tri:
+        from .intersect import TRI_SCAN_BLOCK, tri_layout
+
+        TL = tri_blocks if tri_blocks is not None else tri_layout(scene)
+        ntt = TL.n_blocks * TRI_SCAN_BLOCK
+        tri_v0 = TL.v0.reshape(ntt, 3)
+        tri_e1 = TL.e1.reshape(ntt, 3)
+        tri_e2 = TL.e2.reshape(ntt, 3)
+        tri_n = TL.n.reshape(ntt, 3)
+        tri_kind = TL.kind.reshape(ntt, 1)
+        tri_exp = TL.exp.reshape(ntt, 1)
+        tri_alb = TL.alb.reshape(ntt, 3)
+        tri_idx = TL.idx.reshape(ntt, 1)
+        tri_aabb = jnp.concatenate([TL.bmin, TL.bmax], axis=1)  # (ntb, 6)
+    else:
+        tri_v0 = tri_e1 = tri_e2 = tri_n = tri_alb = jnp.zeros((1, 3), jnp.float32)
+        tri_kind = jnp.zeros((1, 1), jnp.int32)
+        tri_exp = jnp.zeros((1, 1), jnp.float32)
+        tri_idx = jnp.zeros((1, 1), jnp.int32)
+        tri_aabb = jnp.zeros((1, 6), jnp.float32)
+    ntt = tri_v0.shape[0]
+    n_tri_blocks_aabb = tri_aabb.shape[0]
 
     nee = lights is not None
     if nee:
@@ -643,7 +827,7 @@ def render_block_pallas(
         _kernel, img_w=img_w, img_h=img_h, root=root, max_depth=max_depth,
         s_blk=s_blk, accel=accel, with_stats=with_stats, nee=nee,
         physical=physical, early_exit=early_exit, scan_skip=scan_skip,
-        unit_d=scene.unit_d,
+        tri=tri, tri_skip=bool(tri and tri_skip), unit_d=scene.unit_d,
     )
     n_state = 15 if nee else 13
     scratch = (
@@ -653,6 +837,12 @@ def render_block_pallas(
         # 11 winner-carry rows + 1 occlusion row (see the kernel's scan
         # closures); ints ride as f32 (exact below 2^24).
         scratch.append(pltpu.VMEM((12, s_blk, LANES), jnp.float32))
+    if tri and tri_skip:
+        # 10 triangle winner-carry rows + 1 occlusion row (see the kernel's
+        # triangle closures); ints ride as f32 (exact below 2^24). Only the
+        # skip form needs the scratch (pl.when cannot yield values); the
+        # unskipped fold carries registers through fori_loop.
+        scratch.append(pltpu.VMEM((11, s_blk, LANES), jnp.float32))
 
     grid = (pix_tiles, s_tiles)
     smem = lambda shp: pl.BlockSpec(shp, lambda i, j: (0, 0), memory_space=pltpu.SMEM)
@@ -693,6 +883,15 @@ def render_block_pallas(
             whole((n_lights, 1)),
             whole((sphere_idx.shape[0], 1)),
             smem((n_blocks_aabb, 6)),
+            whole((ntt, 3)),
+            whole((ntt, 3)),
+            whole((ntt, 3)),
+            whole((ntt, 3)),
+            whole((ntt, 1)),
+            whole((ntt, 1)),
+            whole((ntt, 3)),
+            whole((ntt, 1)),
+            smem((n_tri_blocks_aabb, 6)),
         ],
         out_specs=pl.BlockSpec((8, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
@@ -727,6 +926,15 @@ def render_block_pallas(
                 light_cdf,
                 sphere_idx,
                 scan_aabb,
+                tri_v0,
+                tri_e1,
+                tri_e2,
+                tri_n,
+                tri_kind,
+                tri_exp,
+                tri_alb,
+                tri_idx,
+                tri_aabb,
             ),
         )
     )

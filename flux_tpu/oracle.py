@@ -27,8 +27,8 @@ Design constraints, in order:
    it is vectorized NumPy (a small frame renders in seconds) but makes no
    other performance concession.
 
-Scope: the BSDF path walk — sweep intersection over spheres + planes, all
-four materials, reference and ``physical`` transport. NEE/MIS estimators are
+Scope: the BSDF path walk — sweep intersection over spheres + planes +
+triangles, all four materials, reference and ``physical`` transport. NEE/MIS estimators are
 out of scope (audit the plain walk; the NEE estimator's own unbiasedness is
 pinned against it by tests/test_nee.py).
 
@@ -48,7 +48,7 @@ from typing import NamedTuple
 import numpy as np
 
 from .constants import SALT_AA, SALT_BOUNCE, SALT_LENS, T_MIN
-from .scene import MaterialKind, PlaneData, SceneData, SphereData
+from .scene import MaterialKind, PlaneData, SceneData, SphereData, TriangleData
 
 __all__ = ["oracle_render", "precision_audit"]
 
@@ -291,28 +291,46 @@ class _Scene(NamedTuple):
     inv: np.ndarray  # (Ns,)  ±1
     ppt: np.ndarray  # (Np, 3)
     pnm: np.ndarray  # (Np, 3)
-    kind: np.ndarray  # (Ns+Np,) int32
-    alb: np.ndarray  # (Ns+Np, 3)  color × param
-    exp: np.ndarray  # (Ns+Np,)
+    tv0: np.ndarray  # (Nt, 3)
+    te1: np.ndarray  # (Nt, 3)  v1 - v0
+    te2: np.ndarray  # (Nt, 3)  v2 - v0
+    tnm: np.ndarray  # (Nt, 3)  unit winding normal
+    kind: np.ndarray  # (Ns+Np+Nt,) int32
+    alb: np.ndarray  # (Ns+Np+Nt, 3)  color × param
+    exp: np.ndarray  # (Ns+Np+Nt,)
     bg: np.ndarray  # (3,)
 
 
 def _compile(sd: SceneData) -> _Scene:
     sph = [s for s in sd.shapes if isinstance(s, SphereData)]
     pln = [p for p in sd.shapes if isinstance(p, PlaneData)]
-    mats = [s.material for s in sph] + [p.material for p in pln]
+    tri = [t for t in sd.shapes if isinstance(t, TriangleData)]
+    mats = (
+        [s.material for s in sph]
+        + [p.material for p in pln]
+        + [t.material for t in tri]
+    )
     f64 = lambda v, shape: np.asarray(v, np.float64).reshape(shape)
-    n, m = len(sph), len(pln)
+    n, m, q = len(sph), len(pln), len(tri)
+    v0 = f64([t.v0 for t in tri], (q, 3))
+    e1 = f64([t.v1 for t in tri], (q, 3)) - v0
+    e2 = f64([t.v2 for t in tri], (q, 3)) - v0
+    tn = np.cross(e1, e2)
+    tn = tn / np.maximum(np.linalg.norm(tn, axis=1, keepdims=True), 1e-300)
     return _Scene(
         ctr=f64([s.center for s in sph], (n, 3)),
         rad=f64([s.radius for s in sph], (n,)),
         inv=f64([-1.0 if s.invert else 1.0 for s in sph], (n,)),
         ppt=f64([p.point for p in pln], (m, 3)),
         pnm=f64([p.normal for p in pln], (m, 3)),
+        tv0=v0,
+        te1=e1,
+        te2=e2,
+        tnm=tn,
         kind=np.asarray([mt.kind for mt in mats], np.int32),
-        alb=f64([mt.color for mt in mats], (n + m, 3))
-        * f64([mt.param for mt in mats], (n + m,))[:, None],
-        exp=f64([mt.exponent for mt in mats], (n + m,)),
+        alb=f64([mt.color for mt in mats], (n + m + q, 3))
+        * f64([mt.param for mt in mats], (n + m + q,))[:, None],
+        exp=f64([mt.exponent for mt in mats], (n + m + q,)),
         bg=f64(sd.background, (3,)),
     )
 
@@ -352,12 +370,39 @@ def _intersect(sc: _Scene, o: _V, d: _V):
         best_t = np.where(cond, t, best_t)
         best_i = np.where(cond, np.int32(ns + j), best_i)
 
+    # Triangles: Möller–Trumbore in f64, double-sided, NaN-rejection on the
+    # degenerate determinant — semantics of ops/intersect.triangle_t, merge
+    # rule of _fold_triangles (ties keep spheres/planes; among triangles the
+    # lowest index, i.e. first strict improvement in visit order).
+    npl = sc.ppt.shape[0]
+    for k in range(sc.tv0.shape[0]):
+        e1, e2, v0 = sc.te1[k], sc.te2[k], sc.tv0[k]
+        px = d.y * e2[2] - d.z * e2[1]
+        py = d.z * e2[0] - d.x * e2[2]
+        pz = d.x * e2[1] - d.y * e2[0]
+        det = e1[0] * px + e1[1] * py + e1[2] * pz
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = 1.0 / det
+            sx, sy, sz = o.x - v0[0], o.y - v0[1], o.z - v0[2]
+            u = (sx * px + sy * py + sz * pz) * inv
+            qx = sy * e1[2] - sz * e1[1]
+            qy = sz * e1[0] - sx * e1[2]
+            qz = sx * e1[1] - sy * e1[0]
+            v = (d.x * qx + d.y * qy + d.z * qz) * inv
+            t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv
+        valid = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > T_MIN)
+        cond = valid & (t < best_t)
+        best_t = np.where(cond, t, best_t)
+        best_i = np.where(cond, np.int32(ns + npl + k), best_i)
+
     mask = np.isfinite(best_t)
     t_safe = np.where(mask, best_t, 0.0)
     point = _V(o.x + t_safe * d.x, o.y + t_safe * d.y, o.z + t_safe * d.z)
-    is_plane = best_i >= ns
-    si = np.where(is_plane, 0, best_i)
-    # Sphere normal (point − c)·invert/r; plane lanes take the authored one.
+    is_plane = (best_i >= ns) & (best_i < ns + npl)
+    is_tri = best_i >= ns + npl
+    si = np.where(is_plane | is_tri, 0, best_i)
+    # Sphere normal (point − c)·invert/r; plane/triangle lanes take the
+    # authored one.
     if ns:
         ctr = _V(*(sc.ctr[si, k] for k in range(3)))
         inv_r = sc.inv[si] / sc.rad[si]
@@ -365,8 +410,12 @@ def _intersect(sc: _Scene, o: _V, d: _V):
     else:
         n_sph = _V(t_safe * 0.0, t_safe * 0.0, t_safe * 0.0)
     pj = np.where(is_plane, best_i - ns, 0)
-    n_pl = _V(*(sc.pnm[pj, k] for k in range(3))) if sc.ppt.shape[0] else n_sph
+    n_pl = _V(*(sc.pnm[pj, k] for k in range(3))) if npl else n_sph
     normal = _vwhere(is_plane, n_pl, n_sph)
+    if sc.tv0.shape[0]:
+        tk = np.where(is_tri, best_i - ns - npl, 0)
+        n_tr = _V(*(sc.tnm[tk, k] for k in range(3)))
+        normal = _vwhere(is_tri, n_tr, normal)
     return mask, best_i, point, normal
 
 

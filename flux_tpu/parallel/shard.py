@@ -99,10 +99,11 @@ def sharded_unit_fn(
         )
 
         if backend == "pallas":
-            from ..ops.intersect import scan_layout
+            from ..ops.intersect import scan_layout, tri_layout
             from ..ops.pallas_kernel import default_s_blk, render_block_pallas
 
             blocks = scan_layout(scene) if accel == "scan" else None
+            tri_blocks = tri_layout(scene) if scene.num_triangles else None
             acc = render_block_pallas(
                 scene,
                 cam,
@@ -118,11 +119,12 @@ def sharded_unit_fn(
                 s_limit=s_limit,
                 interpret=interpret,
                 accel=accel,
-                s_blk=default_s_blk(accel, scene.num_spheres),
+                s_blk=default_s_blk(accel, scene.num_spheres, scene.num_triangles),
                 lights=lights_v,
                 physical=physical,
                 row_stride=rows_shards,
                 scan_blocks=blocks,
+                tri_blocks=tri_blocks,
                 with_stats=with_stats,
             )
             return jax.lax.psum(acc, "spp")
@@ -248,15 +250,10 @@ class MeshRenderer:
         self.nee = self.lights is not None
         self.physical = bool(physical)
         if backend is None:
-            # Triangle geometry lives in the XLA path only (same gate as
-            # Renderer; the megakernel has no triangle fold yet).
+            # Same auto-select as Renderer: the megakernel (which includes
+            # the blocked triangle fold) on real TPU, XLA elsewhere.
             on_tpu = jax.default_backend() == "tpu"
-            backend = "pallas" if (on_tpu and self.scene.num_triangles == 0) else "xla"
-        if backend == "pallas" and self.scene.num_triangles > 0:
-            raise ValueError(
-                "the pallas megakernel does not implement triangle geometry "
-                "yet; use backend='xla' for scenes with Triangle/Mesh shapes"
-            )
+            backend = "pallas" if on_tpu else "xla"
         self.backend = backend
         self.interpret = bool(interpret)
         self._fns = {}

@@ -309,14 +309,10 @@ class Renderer:
             # The megakernel wins ~2-4x on TPU hardware; everywhere else
             # (CPU, GPU) its Mosaic TPU lowering cannot run, so only an
             # actual TPU backend selects it. It implements sweep, scan (as
-            # the VMEM carry-style scan) and NEE; BVH traversal and
-            # triangle geometry live in the XLA path only.
+            # the VMEM carry-style scan), NEE, and the blocked triangle
+            # fold; only BVH traversal lives in the XLA path.
             on_tpu = jax.default_backend() == "tpu"
-            backend = (
-                "pallas"
-                if (on_tpu and self.bvh is None and self.scene.num_triangles == 0)
-                else "xla"
-            )
+            backend = "pallas" if (on_tpu and self.bvh is None) else "xla"
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
         if backend == "pallas" and self.bvh is not None:
@@ -324,12 +320,14 @@ class Renderer:
                 "the pallas megakernel does not implement BVH traversal; "
                 "use backend='xla' for accel='bvh'"
             )
-        if backend == "pallas" and self.scene.num_triangles > 0:
-            raise ValueError(
-                "the pallas megakernel does not implement triangle geometry "
-                "yet; use backend='xla' for scenes with Triangle/Mesh shapes"
-            )
         self.backend = backend
+        # Morton triangle block layout for the megakernel, built ONCE here
+        # (the sphere scan layout's sibling; ops/intersect.tri_layout).
+        self.tri_blocks = None
+        if backend == "pallas" and self.scene.num_triangles > 0:
+            from .ops.intersect import tri_layout
+
+            self.tri_blocks = tri_layout(self.scene)
 
     def _chunk_size(self, n_rows: int) -> int:
         spp = self.root * self.root
@@ -377,11 +375,14 @@ class Renderer:
                 root=self.root,
                 max_depth=self.max_depth,
                 accel=self.accel,
-                s_blk=default_s_blk(self.accel, self.scene.num_spheres),
+                s_blk=default_s_blk(
+                    self.accel, self.scene.num_spheres, self.scene.num_triangles
+                ),
                 with_stats=with_stats,
                 lights=self.lights,
                 physical=self.physical,
                 scan_blocks=self.isect.layout,
+                tri_blocks=self.tri_blocks,
             )
         if self.bvh is not None and n_rows > _BVH_MAX_ROWS_PER_LAUNCH:
             # Whole-frame launches of the traversal program fault the TPU

@@ -177,3 +177,35 @@ def test_oracle_physical_mode():
     ]
     rep = _audit(make_scene(shapes, w=16, h=12), root=6, physical=True)
     assert rep["mean_abs_diff"] < 5e-3, rep
+
+
+def test_oracle_triangles():
+    """Triangle geometry audits clean: the f64 Möller–Trumbore sweep mirrors
+    ops/intersect.triangle_t (double-sided, NaN-rejection, plane-style
+    authored normal) and the f32 path tracks it to f32 rounding."""
+    from flux_tpu.scene import TriangleData
+
+    shapes = [
+        env_sphere(1.0),
+        PlaneData(
+            point=(0.0, 0.0, 0.0),
+            normal=(0.0, 1.0, 0.0),
+            material=MaterialData(
+                kind=MaterialKind.MATTE, color=(0.6, 0.6, 0.6), param=1.0
+            ),
+        ),
+        TriangleData(
+            v0=(-1.0, 0.2, 0.5), v1=(1.0, 0.2, 0.5), v2=(0.0, 1.8, 0.5),
+            material=MaterialData(
+                kind=MaterialKind.MATTE, color=(0.7, 0.3, 0.3), param=1.0
+            ),
+        ),
+        TriangleData(  # emissive triangle, facing-only emission
+            v0=(2.0, 0.2, 1.0), v1=(3.0, 0.2, 1.0), v2=(2.5, 1.2, 1.0),
+            material=MaterialData(
+                kind=MaterialKind.EMISSIVE, color=(0.2, 0.9, 1.0), param=3.0
+            ),
+        ),
+    ]
+    rep = _audit(make_scene(shapes, w=16, h=12), root=4)
+    assert rep["mean_abs_diff"] < 5e-3, rep

@@ -193,3 +193,191 @@ def test_scan_sphere_free_scene_kernel():
         scene, cam, np.int32(0), np.uint32(0), np.uint32(0), **kw
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# Triangle fold (the megakernel's blocked Morton triangle scan)
+
+
+def _tri_scene(extra=(), w=24, h=16, subdiv=0):
+    """Icosphere mesh (20 triangles at subdiv 0 — two TRI_SCAN_BLOCKs, so
+    the kernel fold iterates blocks and sees NaN padding; the XLA blocked
+    form past TRI_UNROLL_MAX is exercised by test_trimesh) + glossy sphere
+    + matte floor + env light. Kept small: each interpret-mode kernel
+    variant is a multi-minute compile at 80 triangles."""
+    from flux_tpu.meshgen import icosphere, mesh_triangles
+
+    matte = MaterialData(kind=MaterialKind.MATTE, color=(0.7, 0.3, 0.3), param=1.0)
+    glossy = SphereData(
+        center=(1.5, 0.5, 1.0), radius=0.5,
+        material=MaterialData(
+            kind=MaterialKind.GLOSSY, color=(0.9, 1.0, 0.9), param=0.9, exponent=50.0
+        ),
+    )
+    floor = PlaneData(
+        point=(0.0, 0.0, 0.0), normal=(0.0, 1.0, 0.0),
+        material=MaterialData(kind=MaterialKind.MATTE, color=(0.6, 0.6, 0.6), param=1.0),
+    )
+    v, f = icosphere(subdiv)
+    tris = mesh_triangles(v, f, matte, scale=1.0, offset=(0.0, 1.0, 0.0))
+    return make_scene(
+        [env_sphere(1.0), glossy, floor] + tris + list(extra), w=w, h=h
+    )
+
+
+
+
+def _assert_ulp_equal(a, b, max_ulp=1):
+    """Equal to within ``max_ulp`` representable floats, elementwise.
+
+    Cross-backend triangle parity is 1-ulp, not bit-exact: the fold/merge
+    semantics are bit-identical (pinned by a pure-JAX replication of the
+    kernel's intersect structure against the XLA fold), but XLA CPU fuses
+    the surrounding arithmetic differently in the two compiled programs
+    (FMA contraction), shifting a handful of lanes by one ulp — the same
+    compiler-scheduling fragility NOTES.md documents for cross-backend
+    comparisons. Within-kernel invariances (skip on/off, early exit
+    on/off) remain bit-exact and are asserted with array_equal."""
+    a = np.asarray(a); b = np.asarray(b)
+    ai = a.view(np.int32).astype(np.int64)
+    bi = b.view(np.int32).astype(np.int64)
+    ai = np.where(ai < 0, np.int64(-0x80000000) - ai, ai)
+    bi = np.where(bi < 0, np.int64(-0x80000000) - bi, bi)
+    d = np.abs(ai - bi)
+    assert d.max() <= max_ulp, f"max ulp distance {d.max()} at {np.argwhere(d > max_ulp)[:5]}"
+
+
+def test_triangle_scene_parity():
+    """Megakernel triangle fold vs the XLA path: 1-ulp radiance parity\n    (see _assert_ulp_equal for why not bit-exact)."""
+    sd = _tri_scene()
+    kw = dict(img_w=24, img_h=16, n_rows=6, n_samples=3, root=2, max_depth=3)
+    a, b = _pair(sd, **kw)
+    _assert_ulp_equal(a, b)
+
+
+def test_triangle_scan_accel_parity():
+    """Triangles + the sphere scan path (both strategies blocked in-kernel)
+    vs the XLA scan (which shares the carried winner fold semantics)."""
+    from flux_tpu.ops.intersect import Intersector, scan_layout
+
+    sd = _tri_scene()
+    scene = compile_scene(sd)
+    cam = camera_arrays(
+        sd.camera_settings, sd.camera_data, sd.output_settings.pixel_size
+    )
+    kw = dict(img_w=24, img_h=16, n_rows=6, n_samples=3, root=2, max_depth=3)
+    isect = Intersector(mode="scan", layout=scan_layout(scene))
+    a = render_block(
+        scene, cam, np.int32(0), np.uint32(0), np.uint32(3), isect=isect, **kw
+    )
+    b = render_block_pallas(
+        scene, cam, np.int32(0), np.uint32(0), np.uint32(3), accel="scan",
+        interpret=True, **kw
+    )
+    _assert_ulp_equal(np.asarray(a), np.asarray(b))
+
+
+def test_triangle_nee_parity():
+    """NEE shadow rays must fold triangles in-kernel too (occlusion), and
+    an emissive triangle must emit facing-only — bit parity with XLA."""
+    from flux_tpu.ops.nee import extract_lights
+    from flux_tpu.scene import TriangleData
+
+    light = SphereData(
+        center=(0.0, 4.0, 0.0), radius=0.5,
+        material=MaterialData(
+            kind=MaterialKind.EMISSIVE, color=(1.0, 0.95, 0.9), param=30.0
+        ),
+    )
+    glow = TriangleData(  # emissive triangle: BSDF-found emission only
+        v0=(-2.5, 0.2, 1.0), v1=(-1.5, 0.2, 1.0), v2=(-2.0, 1.2, 1.0),
+        material=MaterialData(kind=MaterialKind.EMISSIVE, color=(0.2, 0.9, 1.0), param=4.0),
+    )
+    sd = _tri_scene(extra=[light, glow])
+    scene = compile_scene(sd)
+    cam = camera_arrays(
+        sd.camera_settings, sd.camera_data, sd.output_settings.pixel_size
+    )
+    lights = extract_lights(sd)
+    assert lights is not None
+    for physical in (False, True):
+        kw = dict(img_w=24, img_h=16, n_rows=6, n_samples=3, root=2,
+                  max_depth=3, lights=lights, physical=physical)
+        a = render_block(
+            scene, cam, np.int32(0), np.uint32(0), np.uint32(5), **kw
+        )
+        b = render_block_pallas(
+            scene, cam, np.int32(0), np.uint32(0), np.uint32(5),
+            interpret=True, **kw
+        )
+        _assert_ulp_equal(np.asarray(a), np.asarray(b))
+
+
+def test_triangle_early_exit_matches_straightline():
+    """The tri fold must be invariant to the whole-tile early exit (its
+    alive-mask only makes the AABB skip more aggressive, never changes a
+    winner)."""
+    sd = _tri_scene()
+    scene = compile_scene(sd)
+    cam = camera_arrays(
+        sd.camera_settings, sd.camera_data, sd.output_settings.pixel_size
+    )
+    kw = dict(img_w=24, img_h=16, n_rows=6, n_samples=3, root=2, max_depth=3,
+              interpret=True)
+    a = render_block_pallas(
+        scene, cam, np.int32(0), np.uint32(0), np.uint32(3), early_exit=True, **kw
+    )
+    b = render_block_pallas(
+        scene, cam, np.int32(0), np.uint32(0), np.uint32(3), early_exit=False, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_triangle_skip_matches_unskipped():
+    """The per-block triangle AABB skip must be a pure scheduling change:
+    bit-identical output with the skip on or off (same rule as the sphere
+    scan skip)."""
+    sd = _tri_scene()
+    scene = compile_scene(sd)
+    cam = camera_arrays(
+        sd.camera_settings, sd.camera_data, sd.output_settings.pixel_size
+    )
+    kw = dict(img_w=24, img_h=16, n_rows=6, n_samples=3, root=2, max_depth=3,
+              interpret=True)
+    a = render_block_pallas(
+        scene, cam, np.int32(0), np.uint32(0), np.uint32(3), tri_skip=True, **kw
+    )
+    b = render_block_pallas(
+        scene, cam, np.int32(0), np.uint32(0), np.uint32(3), tri_skip=False, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tri_layout_covers_all_triangles():
+    """The Morton layout is a permutation: every original triangle appears
+    exactly once; padding is NaN-v0 with index -1; per-block AABBs contain
+    their block's real vertices."""
+    from flux_tpu.ops.intersect import TRI_SCAN_BLOCK, tri_layout
+
+    sd = _tri_scene()
+    scene = compile_scene(sd)
+    L = tri_layout(scene)
+    nt = scene.num_triangles
+    idx = np.asarray(L.idx).reshape(-1)
+    real = idx >= 0
+    assert sorted(idx[real].tolist()) == list(range(nt))
+    assert np.isnan(np.asarray(L.v0).reshape(-1, 3)[~real]).all()
+    v0 = np.asarray(L.v0)
+    e1 = np.asarray(L.e1)
+    e2 = np.asarray(L.e2)
+    bmin = np.asarray(L.bmin)
+    bmax = np.asarray(L.bmax)
+    realb = np.asarray(L.idx) >= 0
+    for b in range(L.n_blocks):
+        if not realb[b].any():
+            assert np.isnan(bmin[b]).all() and np.isnan(bmax[b]).all()
+            continue
+        verts = np.stack(
+            [v0[b][realb[b]], (v0[b] + e1[b])[realb[b]], (v0[b] + e2[b])[realb[b]]]
+        ).reshape(-1, 3)
+        assert (verts >= bmin[b] - 1e-6).all() and (verts <= bmax[b] + 1e-6).all()

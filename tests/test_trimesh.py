@@ -301,10 +301,14 @@ class TestRendering:
         diff = np.abs(img_mesh - img_sph).mean()
         assert diff < 0.02, f"icosphere vs analytic sphere mean |diff| {diff:.4f}"
 
-    def test_pallas_backend_rejected_for_triangles(self):
+    def test_pallas_backend_accepts_triangles(self):
+        # The megakernel folds triangles (blocked Morton scan,
+        # ops/pallas_kernel.py); a triangle scene constructs with
+        # backend='pallas' and carries a prebuilt TriLayout. Auto-select
+        # still picks XLA off-TPU (Mosaic cannot lower on CPU).
         tri = TriangleData(v0=(-1, -1, 2), v1=(1, -1, 2), v2=(0, 1, 2), material=MATTE_RED)
-        with pytest.raises(ValueError, match="triangle"):
-            Renderer(scene_of([tri]), 1, 2, seed=0, backend="pallas")
+        r = Renderer(scene_of([tri]), 1, 2, seed=0, backend="pallas")
+        assert r.backend == "pallas" and r.tri_blocks is not None
         r = Renderer(scene_of([tri]), 1, 2, seed=0)
         assert r.backend == "xla"
 
