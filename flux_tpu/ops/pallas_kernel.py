@@ -51,15 +51,17 @@ def default_s_blk(accel: str, num_spheres: int, num_triangles: int = 0) -> int:
     """Samples-per-tile heuristic. Smaller tiles buy nothing on the fused
     sweep (measured: 32/64/128 within noise on demo2) but make the blocked
     skips much finer-grained — fewer lanes per any-reduce means more
-    whole-block skips. Measured optima: 512 spheres → 32, 4096 → 16; the
-    triangle fold shares the sphere thresholds (same skip mechanism).
+    whole-block skips. Measured optima: 512 spheres → 32, 4096 → 16;
+    triangle folds → 16 (a triangle test costs ~3× a sphere test, so the
+    finer skip pays sooner: 16.4 vs 12.1 Msamples/s at 1280 triangles,
+    with 8 already over the small-tile overhead cliff at 13.5).
     Tiny meshes (< 256 triangles) keep the full tile — too few blocks for
     the skip to pay for the smaller-tile overhead."""
     cands = [S_BLK]
     if accel == "scan":
         cands.append(32 if num_spheres <= 2048 else 16)
     if num_triangles >= 256:
-        cands.append(32 if num_triangles <= 2048 else 16)
+        cands.append(16)
     return min(cands)
 
 
@@ -211,10 +213,19 @@ def _kernel(
         # holds the pre-bounce state; it is written before depth 1).
         return (st_ref[12, :, :] > 0.0) if st_ref is not None else None
 
-    def _aabb_any_hit(box_ref, i, o, inv_dx, inv_dy, inv_dz, need):
+    def _aabb_any_hit(box_ref, i, o, inv_dx, inv_dy, inv_dz, need, t_cap=None,
+                      cap_strict=False):
         """True iff any needed lane's ray enters box_ref[i]'s AABB (slab
         test, IEEE inf/NaN semantics as in ops/aabb.py). Shared by the
-        sphere scan skip and the triangle fold skip."""
+        sphere scan skip and the triangle fold skip.
+
+        ``t_cap`` (per-lane, optional) adds front-to-back pruning: any
+        candidate inside the box has t >= t0 (the slab entry), so a block
+        whose t0 exceeds the lane's current winner t (or a shadow ray's
+        t_max) cannot change that lane — the lane drops out of the
+        any-reduce. Nearest folds pass cap_strict=False (t0 <= cap keeps
+        equal-t lowest-index tie candidates); occlusion folds pass
+        cap_strict=True (only t < t_max occludes)."""
         # Same slab recipe as ops/aabb.py aabb_hit (inf/NaN handled by
         # IEEE min/max), but with t0 <= t1 (conservative for degenerate
         # flat boxes) and a hoisted per-call inverse direction.
@@ -240,7 +251,10 @@ def _kernel(
         # drops real intersections for the whole tile. Treat NaN as hit
         # so the skip stays strictly conservative.
         nan = jnp.isnan(t0) | jnp.isnan(t1)
-        hit = nan | ((t0 <= t1) & (t1 > _T_MIN))
+        enter = (t0 <= t1) & (t1 > _T_MIN)
+        if t_cap is not None:
+            enter &= (t0 < t_cap) if cap_strict else (t0 <= t_cap)
+        hit = nan | enter
         if need is not None:
             hit &= need
         return jnp.any(hit)
@@ -312,7 +326,14 @@ def _kernel(
                 _write_carry(scan_carry_init(o.x))
 
                 def body(i, _):
-                    @pl.when(_aabb_any_hit(aabb_ref, i, o, inv_dx, inv_dy, inv_dz, need))
+                    # Front-to-back prune: scan_ref[0] is the running
+                    # winner t, monotonically decreasing as blocks fold.
+                    @pl.when(
+                        _aabb_any_hit(
+                            aabb_ref, i, o, inv_dx, inv_dy, inv_dz, need,
+                            t_cap=scan_ref[0, :, :],
+                        )
+                    )
                     def _fold():
                         ctr, rad, inv_r_b, kind, exp, alb, idx = _slice_block(
                             i * SCAN_BLOCK
@@ -363,7 +384,12 @@ def _kernel(
                     occ_now = scan_ref[11, :, :] > 0.0
                     need = ~occ_now if alive is None else (alive & ~occ_now)
 
-                    @pl.when(_aabb_any_hit(aabb_ref, i, o, inv_dx, inv_dy, inv_dz, need))
+                    @pl.when(
+                        _aabb_any_hit(
+                            aabb_ref, i, o, inv_dx, inv_dy, inv_dz, need,
+                            t_cap=t_max, cap_strict=True,
+                        )
+                    )
                     def _fold():
                         ctr, rad, idx = occ_slice(i * SCAN_BLOCK)
                         occ2 = fold_occluded_block(
@@ -452,11 +478,24 @@ def _kernel(
             if tri_skip:
                 inv_dx, inv_dy, inv_dz = 1.0 / d.x, 1.0 / d.y, 1.0 / d.z
                 need = _alive_mask()
-                _tri_write(tri_carry_init(o.x))
+                # Seed the carry's winner t with the sphere/plane winner:
+                # merge_tri_hit only takes a triangle at tr_t < hit.t
+                # (strict — ties keep the incumbent), and no real triangle
+                # can RECORD t == hit.t here (the fold's tie arm needs
+                # idx[k] < bi = 0; real indices are >= 0), so seeding is
+                # semantics-neutral — but it lets the front-to-back prune
+                # below drop triangle blocks already occluded by
+                # spheres/planes from the very first block.
+                ci = tri_carry_init(o.x)
+                _tri_write((hit.t,) + ci[1:])
 
                 def body(i, _):
+                    # tri_ref[0] is the running winner t (seeded above).
                     @pl.when(
-                        _aabb_any_hit(tri_aabb_ref, i, o, inv_dx, inv_dy, inv_dz, need)
+                        _aabb_any_hit(
+                            tri_aabb_ref, i, o, inv_dx, inv_dy, inv_dz, need,
+                            t_cap=tri_ref[0, :, :],
+                        )
                     )
                     def _fold():
                         _tri_write(
@@ -500,7 +539,12 @@ def _kernel(
                 occ_now = tri_ref[10, :, :] > 0.0
                 need = ~occ_now if alive is None else (alive & ~occ_now)
 
-                @pl.when(_aabb_any_hit(tri_aabb_ref, i, o, inv_dx, inv_dy, inv_dz, need))
+                @pl.when(
+                    _aabb_any_hit(
+                        tri_aabb_ref, i, o, inv_dx, inv_dy, inv_dz, need,
+                        t_cap=t_max, cap_strict=True,
+                    )
+                )
                 def _fold():
                     v0, e1, e2, n3, kind, exp, alb, idx = _tri_slice(
                         i * TRI_SCAN_BLOCK
