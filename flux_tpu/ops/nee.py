@@ -49,15 +49,17 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..scene import MaterialKind, SceneData, SphereData
+from ..scene import MaterialKind, PlaneData, SceneData, SphereData, TriangleData
 from ..vec import Vec3, dot, frame_about
+from ..vec import where as vwhere
 
-__all__ = ["LightArrays", "extract_lights", "sample_light_dirs", "light_emission", "nee_pdf_toward"]
+__all__ = ["LightArrays", "LightSample", "extract_lights", "sample_light_dirs", "light_emission", "nee_pdf_toward"]
 
 _TWO_PI = np.float32(2.0 * np.pi)
 _HALF_PI = np.float32(np.pi / 2.0)
@@ -90,80 +92,164 @@ def _acos_conservative(x):
 
 @dataclass(frozen=True)
 class LightArrays:
-    """Device-resident area-light set: the non-inverted emissive spheres."""
+    """Device-resident area-light set: the non-inverted emissive spheres
+    plus (when present) the emissive triangles.
 
-    center: jnp.ndarray  # (L, 3) f32
-    radius: jnp.ndarray  # (L,)   f32
+    Sphere lights are cone-sampled; triangle lights are uniform-area
+    sampled (exact — no bounding-cone approximation). The two kinds share
+    one pick/cdf so a vertex still draws exactly one light per NEE sample.
+    The triangle fields are ``None`` for sphere-only scenes, so the layout
+    (and therefore the megakernel's light refs and every existing golden)
+    is unchanged unless a scene actually has emissive triangles."""
+
+    center: jnp.ndarray  # (L, 3) f32 sphere center / triangle centroid
+    radius: jnp.ndarray  # (L,)   f32 sphere radius / 0 on triangle rows
     emit: jnp.ndarray  # (L, 3)  f32 color × power
-    shape_idx: jnp.ndarray  # (L,) i32 sphere index in the scene's shape order
+    shape_idx: jnp.ndarray  # (L,) i32 full shape index (spheres, planes, tris)
     # Power-proportional selection: pick[k] = probability of sampling light
-    # k (∝ luminance(emit)·radius², normalized); cdf[k] = sum(pick[:k]) —
+    # k (∝ luminance(emit)·area, normalized); cdf[k] = sum(pick[:k]) —
     # uniform picking wastes samples on dim lights in unequal-light scenes.
     pick: jnp.ndarray = None  # (L,) f32
     cdf: jnp.ndarray = None  # (L,) f32 exclusive prefix sum
+    # Triangle-light geometry (None when the light set is spheres only).
+    is_tri: jnp.ndarray = None  # (L,) f32 0/1
+    tri_v0: jnp.ndarray = None  # (L, 3) f32 (zeros on sphere rows)
+    tri_e1: jnp.ndarray = None  # (L, 3) f32 v1 - v0
+    tri_e2: jnp.ndarray = None  # (L, 3) f32 v2 - v0
+    tri_n: jnp.ndarray = None  # (L, 3) f32 unit authored normal
+    tri_area: jnp.ndarray = None  # (L,) f32
+    # Static per-light kind tags ('sphere' | 'tri'); () means all-sphere.
+    kinds: tuple = ()
 
     @property
     def num_lights(self) -> int:
         return self.center.shape[0]
 
+    @property
+    def has_tris(self) -> bool:
+        return self.tri_v0 is not None
+
 
 jax.tree_util.register_dataclass(
     LightArrays,
-    data_fields=[f.name for f in dataclasses.fields(LightArrays)],
-    meta_fields=[],
+    data_fields=[
+        f.name for f in dataclasses.fields(LightArrays) if f.name != "kinds"
+    ],
+    meta_fields=["kinds"],
 )
 
 
 def extract_lights(sd: SceneData):
     """Build the NEE light set from scene data, or None if there are no
-    non-inverted emissive spheres."""
-    centers, radii, emits, idxs = [], [], [], []
+    non-inverted emissive spheres and no emissive triangles.
+
+    Triangles keep the shape-index convention of the intersection paths
+    (spheres, then planes, then triangles — scene.py scene_arrays), so
+    shadow-ray self-exclusion and emission suppression match the sweep."""
+    n_spheres = sum(isinstance(s, SphereData) for s in sd.shapes)
+    n_planes = sum(isinstance(s, PlaneData) for s in sd.shapes)
+    tri_base = n_spheres + n_planes
+    # Per-light records: (kind, center, radius, emit, shape_idx, v0, e1, e2,
+    # unit normal, area) with zero geometry on the kind it isn't.
+    recs = []
     sphere_i = 0
+    tri_i = 0
+    z3 = (0.0, 0.0, 0.0)
     for s in sd.shapes:
-        if not isinstance(s, SphereData):
-            continue
-        m = s.material
-        if m.kind == MaterialKind.EMISSIVE and not s.invert:
-            centers.append(s.center)
-            radii.append(s.radius)
-            emits.append(tuple(c * m.param for c in m.color))
-            idxs.append(sphere_i)
-        sphere_i += 1
-    if not centers:
+        if isinstance(s, SphereData):
+            m = s.material
+            if m.kind == MaterialKind.EMISSIVE and not s.invert:
+                emit = tuple(c * m.param for c in m.color)
+                # Selection weight ∝ emitted power: luminance × area/(4π)
+                # (= lum·r² for a sphere; one-sided triangles use A/(4π)
+                # so mixed sets weight consistently).
+                recs.append(
+                    ("sphere", s.center, s.radius, emit, sphere_i,
+                     z3, z3, z3, z3, 0.0, float(s.radius) ** 2)
+                )
+            sphere_i += 1
+        elif isinstance(s, TriangleData):
+            m = s.material
+            if m.kind == MaterialKind.EMISSIVE:
+                emit = tuple(c * m.param for c in m.color)
+                v0 = np.asarray(s.v0, np.float64)
+                e1 = np.asarray(s.v1, np.float64) - v0
+                e2 = np.asarray(s.v2, np.float64) - v0
+                cr = np.cross(e1, e2)
+                area = 0.5 * float(np.linalg.norm(cr))
+                nrm = cr / max(np.linalg.norm(cr), 1e-30)
+                ctr = v0 + (e1 + e2) / 3.0
+                recs.append(
+                    ("tri", tuple(ctr), 0.0, emit, tri_base + tri_i,
+                     tuple(v0), tuple(e1), tuple(e2), tuple(nrm), area,
+                     area / (4.0 * np.pi))
+                )
+            tri_i += 1
+    if not recs:
         return None
     f32 = lambda a, shp: jnp.asarray(np.asarray(a, np.float32).reshape(shp))
-    n = len(centers)
+    n = len(recs)
+    kinds = tuple(r[0] for r in recs)
+    emits = np.asarray([r[3] for r in recs], np.float32).reshape(n, 3)
     # Selection weights ∝ emitted power reaching the scene: luminance of
-    # (color × power) × surface area (∝ r²). Degenerate all-zero weights
-    # (black "lights") fall back to uniform.
-    e = np.asarray(emits, np.float32).reshape(n, 3)
-    lum = 0.2126 * e[:, 0] + 0.7152 * e[:, 1] + 0.0722 * e[:, 2]
-    w = lum * np.asarray(radii, np.float32) ** 2
+    # (color × power) × surface area. Degenerate all-zero weights (black
+    # "lights") fall back to uniform.
+    lum = 0.2126 * emits[:, 0] + 0.7152 * emits[:, 1] + 0.0722 * emits[:, 2]
+    w = lum * np.asarray([r[10] for r in recs], np.float32)
     total = float(w.sum())
     pick = w / total if total > 0 else np.full(n, 1.0 / n, np.float32)
     cdf = np.concatenate([[0.0], np.cumsum(pick)[:-1]]).astype(np.float32)
-    return LightArrays(
-        center=f32(centers, (n, 3)),
-        radius=f32(radii, (n,)),
-        emit=f32(emits, (n, 3)),
-        shape_idx=jnp.asarray(np.asarray(idxs, np.int32)),
+    la = LightArrays(
+        center=f32([r[1] for r in recs], (n, 3)),
+        radius=f32([r[2] for r in recs], (n,)),
+        emit=jnp.asarray(emits),
+        shape_idx=jnp.asarray(np.asarray([r[4] for r in recs], np.int32)),
         pick=f32(pick, (n,)),
         cdf=f32(cdf, (n,)),
     )
+    if "tri" not in kinds:
+        return la  # sphere-only: exact round-1 layout, megakernel-ready
+    return dataclasses.replace(
+        la,
+        is_tri=f32([1.0 if r[0] == "tri" else 0.0 for r in recs], (n,)),
+        tri_v0=f32([r[5] for r in recs], (n, 3)),
+        tri_e1=f32([r[6] for r in recs], (n, 3)),
+        tri_e2=f32([r[7] for r in recs], (n, 3)),
+        tri_n=f32([r[8] for r in recs], (n, 3)),
+        tri_area=f32([r[9] for r in recs], (n,)),
+        kinds=kinds,
+    )
+
+
+class LightSample(NamedTuple):
+    """One NEE light sample per lane (the return of sample_light_dirs)."""
+
+    d: Vec3  # unit direction toward the sampled light point
+    weight: Vec3  # L_e / (pick · pdf_solid_angle); 0 when unsampleable
+    sidx: jnp.ndarray  # (B,) i32 full shape index of the picked light
+    pdf: jnp.ndarray  # (B,) f32 solid-angle density of this strategy
+    center: Vec3  # picked light's center (sphere rows; shade's sphere_t)
+    radius: jnp.ndarray  # (B,) f32 picked light's radius (0 on tri rows)
+    # Triangle-light channel: None for sphere-only light sets.
+    tri_t: jnp.ndarray = None  # (B,) f32 ray-t of the sampled tri point
+    tri_mask: jnp.ndarray = None  # (B,) bool: lane picked a triangle light
 
 
 def sample_light_dirs(lights: LightArrays, p: Vec3, ux, uy, upick, normal: Vec3 = None):
-    """Cone-sample a direction from ``p`` toward a light picked with
-    probability ``lights.pick`` (power-proportional selection).
+    """Sample a direction from ``p`` toward a light picked with
+    probability ``lights.pick`` (power-proportional selection): sphere
+    lights by uniform cone sampling, triangle lights by uniform AREA
+    sampling (exact solid-angle conversion pdf = pick·r²/(A·cosθ_l)).
 
-    Returns (dir, weight, light_shape_idx, pdf, center, radius): ``weight``
-    is L_e · L / pdf_cone, i.e. everything of the estimator except the
-    surface's f·cosθ and visibility; zero when ``p`` is inside the light.
-    ``pdf`` is the strategy's solid-angle density pdf_cone/L — the MIS
-    balance-heuristic ingredient (inf when inside the light). ``center``
-    (Vec3) and ``radius`` are the picked light's geometry, so the caller
-    can compute the light's own ray-t with the exact same ``sphere_t``
-    rule the intersection sweep uses (any-hit shadow rays need t_max).
+    Returns a :class:`LightSample`: ``weight`` is L_e / (pick · pdf), i.e.
+    everything of the estimator except the surface's f·cosθ and
+    visibility; zero when ``p`` is inside a sphere light or behind a
+    triangle light. ``pdf`` is the strategy's solid-angle density — the
+    MIS balance-heuristic ingredient. ``center``/``radius`` are the picked
+    light's sphere geometry, so the caller can compute the light's own
+    ray-t with the exact same ``sphere_t`` rule the intersection sweep
+    uses (any-hit shadow rays need t_max); triangle rows carry their
+    sampled-point ray-t in ``tri_t`` instead (``tri_mask`` says which).
 
     ``normal`` (optional) enables PARTIAL-CONE horizon clipping: on each
     cone ring (fixed polar angle about the light axis) the azimuth is
@@ -194,6 +280,14 @@ def sample_light_dirs(lights: LightArrays, p: Vec3, ux, uy, upick, normal: Vec3 
     er, eg, eb = cx, cx, cx
     pk = jnp.zeros(shape, jnp.float32)
     sidx = jnp.zeros(shape, jnp.int32)
+    has_tris = lights.has_tris
+    if has_tris:
+        it = jnp.zeros(shape, jnp.float32)
+        tv = [jnp.zeros(shape, jnp.float32) for _ in range(3)]
+        t1 = [jnp.zeros(shape, jnp.float32) for _ in range(3)]
+        t2 = [jnp.zeros(shape, jnp.float32) for _ in range(3)]
+        tn = [jnp.zeros(shape, jnp.float32) for _ in range(3)]
+        tarea = jnp.zeros(shape, jnp.float32)
     for k in range(nl):
         sel = li == k
         cx = jnp.where(sel, lights.center[k, 0], cx)
@@ -205,6 +299,14 @@ def sample_light_dirs(lights: LightArrays, p: Vec3, ux, uy, upick, normal: Vec3 
         eb = jnp.where(sel, lights.emit[k, 2], eb)
         pk = jnp.where(sel, lights.pick[k], pk)
         sidx = jnp.where(sel, lights.shape_idx[k], sidx)
+        if has_tris:
+            it = jnp.where(sel, lights.is_tri[k], it)
+            for c in range(3):
+                tv[c] = jnp.where(sel, lights.tri_v0[k, c], tv[c])
+                t1[c] = jnp.where(sel, lights.tri_e1[k, c], t1[c])
+                t2[c] = jnp.where(sel, lights.tri_e2[k, c], t2[c])
+                tn[c] = jnp.where(sel, lights.tri_n[k, c], tn[c])
+            tarea = jnp.where(sel, lights.tri_area[k], tarea)
     emit = (er, eg, eb)
 
     dc = Vec3(cx - p.x, cy - p.y, cz - p.z)
@@ -274,9 +376,45 @@ def sample_light_dirs(lights: LightArrays, p: Vec3, ux, uy, upick, normal: Vec3 
         # Clipped density: pdf_ring is up by π/φ_lim, so the weight scales
         # by the visible fraction (φ_lim = 0 ⇒ no visible arc ⇒ zero).
         wgt = wgt * arc_frac
+
+    tri_t = tri_mask = None
+    if has_tris:
+        # Triangle lanes: uniform point on the triangle (barycentric fold
+        # of the same (ux, uy) square sample the cone lanes spend), exact
+        # area→solid-angle conversion. The cone's horizon clipping doesn't
+        # apply — below-horizon outcomes are already masked by the caller's
+        # cosθ > 0 test, and a back-facing triangle (the reference's
+        # one-sided emissive rule, materials.rs:44-49) weighs zero here.
+        uu = jnp.asarray(ux)
+        vv = jnp.asarray(uy)
+        flip = uu + vv > 1.0
+        uu = jnp.where(flip, 1.0 - uu, uu)
+        vv = jnp.where(flip, 1.0 - vv, vv)
+        qx = tv[0] + uu * t1[0] + vv * t2[0]
+        qy = tv[1] + uu * t1[1] + vv * t2[1]
+        qz = tv[2] + uu * t1[2] + vv * t2[2]
+        dvx, dvy, dvz = qx - p.x, qy - p.y, qz - p.z
+        r2 = jnp.maximum(dvx * dvx + dvy * dvy + dvz * dvz, np.float32(1e-12))
+        r = jnp.sqrt(r2)
+        inv_r = 1.0 / r
+        td = Vec3(dvx * inv_r, dvy * inv_r, dvz * inv_r)
+        # cosθ_l: the light's authored normal against the incoming shadow
+        # ray — matches the emission facing test (-n)·d > 0 at a hit.
+        cos_l = -(tn[0] * td.x + tn[1] * td.y + tn[2] * td.z)
+        wgt_tri = (
+            tarea * jnp.maximum(cos_l, 0.0) / (jnp.maximum(pk, 1e-12) * r2)
+        )
+        tri_mask = it > 0.5
+        d = vwhere(tri_mask, td, d)
+        wgt = jnp.where(tri_mask, wgt_tri, wgt)
+        tri_t = r
+
     weight = Vec3(emit[0] * wgt, emit[1] * wgt, emit[2] * wgt)
     pdf = 1.0 / jnp.maximum(wgt, 1e-20)
-    return d, weight, sidx, pdf, Vec3(cx, cy, cz), rad
+    return LightSample(
+        d=d, weight=weight, sidx=sidx, pdf=pdf, center=Vec3(cx, cy, cz),
+        radius=rad, tri_t=tri_t, tri_mask=tri_mask,
+    )
 
 
 def light_emission(lights: LightArrays, shape_idx):
@@ -288,28 +426,54 @@ def light_emission(lights: LightArrays, shape_idx):
     return m
 
 
-def nee_pdf_toward(lights: LightArrays, p: Vec3, shape_idx):
+def nee_pdf_toward(lights: LightArrays, p: Vec3, shape_idx, d: Vec3 = None, t=None):
     """Solid-angle density with which NEE at ``p`` would have sampled a
     direction toward the light identified by ``shape_idx`` — the balance-
     heuristic counterweight for BSDF hits of a light. Zero for non-lights.
+
+    ``d``/``t`` (the hit ray's unit direction and hit distance) are only
+    consulted for triangle lights, whose area-sampling density depends on
+    the actual hit point: pdf = pick·t²/(A·cosθ_l). Sphere-light sets can
+    omit them (the cone density needs only ``p``).
 
     Approximation shared with every production tracer: when light cones
     overlap, only the hit light's own cone density is counted.
     """
     nl = lights.num_lights
+    kinds = lights.kinds or ("sphere",) * nl
     pdf = jnp.zeros(shape_idx.shape, jnp.float32)
     for k in range(nl):
         sel = shape_idx == lights.shape_idx[k]
-        dcx = lights.center[k, 0] - p.x
-        dcy = lights.center[k, 1] - p.y
-        dcz = lights.center[k, 2] - p.z
-        dist2 = dcx * dcx + dcy * dcy + dcz * dcz
-        r = lights.radius[k]
-        sin2 = jnp.clip(r * r / jnp.maximum(dist2, 1e-12), 0.0, 1.0)
-        cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
-        omega = _TWO_PI * (1.0 - cos_max)
-        pdf_k = lights.pick[k] / jnp.maximum(omega, 1e-20)
-        # Inside the light NEE cannot sample it at all.
-        pdf_k = jnp.where(dist2 <= r * r, 0.0, pdf_k)
+        if kinds[k] == "tri":
+            if d is None or t is None:
+                raise ValueError(
+                    "nee_pdf_toward needs d and t for triangle lights"
+                )
+            cos_l = -(
+                lights.tri_n[k, 0] * d.x
+                + lights.tri_n[k, 1] * d.y
+                + lights.tri_n[k, 2] * d.z
+            )
+            pdf_k = (
+                lights.pick[k]
+                * t
+                * t
+                / jnp.maximum(lights.tri_area[k] * cos_l, np.float32(1e-12))
+            )
+            # A back-facing triangle cannot be NEE-sampled (weight 0), so
+            # its reverse density is 0 — the BSDF walk keeps full weight.
+            pdf_k = jnp.where(cos_l > 0.0, pdf_k, 0.0)
+        else:
+            dcx = lights.center[k, 0] - p.x
+            dcy = lights.center[k, 1] - p.y
+            dcz = lights.center[k, 2] - p.z
+            dist2 = dcx * dcx + dcy * dcy + dcz * dcz
+            r = lights.radius[k]
+            sin2 = jnp.clip(r * r / jnp.maximum(dist2, 1e-12), 0.0, 1.0)
+            cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+            omega = _TWO_PI * (1.0 - cos_max)
+            pdf_k = lights.pick[k] / jnp.maximum(omega, 1e-20)
+            # Inside the light NEE cannot sample it at all.
+            pdf_k = jnp.where(dist2 <= r * r, 0.0, pdf_k)
         pdf = jnp.where(sel, pdf_k, pdf)
     return pdf

@@ -25,6 +25,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
+from ..constants import T_MIN
 from ..scene import MaterialKind, SceneArrays
 from ..vec import Vec3, dot, reflect
 from ..vec import where as vwhere
@@ -96,7 +97,7 @@ def bounce(
         from .nee import light_emission, nee_pdf_toward
 
         is_l = light_emission(lights, hit.shape)
-        pdf_nee_prev = nee_pdf_toward(lights, o, hit.shape)
+        pdf_nee_prev = nee_pdf_toward(lights, o, hit.shape, d=d, t=hit.t)
         w_b = prev_pdf / jnp.maximum(prev_pdf + pdf_nee_prev, 1e-20)
         emit_w = jnp.where(
             emit_mask,
@@ -182,16 +183,18 @@ def bounce(
         # reverse density (nee_pdf_toward at the NEXT vertex) has no access
         # to this vertex's normal, and MIS weights must use one consistent
         # density on both sides to keep Σw = 1 (unbiasedness).
-        ldir, lweight, lidx, pdf_nee, lctr, lrad = sample_light_dirs(
+        ls = sample_light_dirs(
             lights, hit.point, ux, uy, upick,
             normal=None if physical else hit.normal,
         )
+        ldir, lweight, lidx, pdf_nee = ls.d, ls.weight, ls.sidx, ls.pdf
         cos_s = dot(hit.normal, ldir)
         # Shadow test. Strategies expose an any-hit primitive (`occluded`):
         # visibility only needs "any occluder before the light", so the
         # light's own ray-t is computed with the exact sphere_t rule the
-        # sweep would use and everything else is a cheap OR fold — about a
-        # third less work per sphere than the nearest-hit sweep. Fallback
+        # sweep would use (triangle lights carry their sampled point's t
+        # directly) and everything else is a cheap OR fold — about a third
+        # less work per sphere than the nearest-hit sweep. Fallback
         # (plain intersect callables): nearest hit must BE the light.
         occluded = getattr(do_intersect, "occluded", None)
         if occluded is not None:
@@ -201,8 +204,14 @@ def bounce(
                 a_sh = dot(ldir, ldir)
                 inv_a_sh = 1.0 / a_sh
             t_l, l_valid = sphere_t(
-                hit.point, ldir, a_sh, inv_a_sh, lctr.x, lctr.y, lctr.z, lrad
+                hit.point, ldir, a_sh, inv_a_sh,
+                ls.center.x, ls.center.y, ls.center.z, ls.radius,
             )
+            if ls.tri_mask is not None:
+                t_l = jnp.where(ls.tri_mask, ls.tri_t, t_l)
+                l_valid = jnp.where(
+                    ls.tri_mask, ls.tri_t > np.float32(T_MIN), l_valid
+                )
             lit = l_valid & ~occluded(scene, hit.point, ldir, t_l, lidx)
         else:
             shadow = do_intersect(scene, hit.point, ldir)

@@ -332,6 +332,162 @@ class TestPowerWeightedPick:
         assert abs(float(a.mean()) - float(b.mean())) < 0.008
 
 
+def tri_light_scene(w=32, h=24, half=0.5, power=15.0, flip=False,
+                    sphere_light=False):
+    """Matte floor + matte ball under a square area light made of TWO
+    emissive triangles at y=3 (normals authored downward, toward the
+    floor; ``flip`` reverses the winding so the light faces away). The
+    triangle-light NEE scene — ``sphere_light`` adds a small emissive
+    sphere so mixed light sets are exercised too."""
+    from flux_tpu.scene import TriangleData
+
+    s = half
+    emissive = MaterialData(
+        kind=MaterialKind.EMISSIVE, color=(1.0, 0.95, 0.9), param=power
+    )
+
+    def tri(v0, v1, v2):
+        if flip:
+            v1, v2 = v2, v1
+        return TriangleData(v0=v0, v1=v1, v2=v2, material=emissive)
+
+    shapes = (
+        SphereData(
+            center=(0.8, 0.5, 0.0),
+            radius=0.5,
+            material=MaterialData(
+                kind=MaterialKind.MATTE, color=(0.7, 0.3, 0.3), param=1.0
+            ),
+        ),
+        PlaneData(
+            point=(0.0, 0.0, 0.0),
+            normal=(0.0, 1.0, 0.0),
+            material=MaterialData(
+                kind=MaterialKind.MATTE, color=(0.6, 0.6, 0.6), param=1.0
+            ),
+        ),
+        # (v1-v0)×(v2-v0) points -y: the light shines down.
+        tri((-s, 3.0, -s), (s, 3.0, -s), (-s, 3.0, s)),
+        tri((s, 3.0, s), (-s, 3.0, s), (s, 3.0, -s)),
+    ) + (
+        (
+            SphereData(
+                center=(2.5, 2.0, -1.0),
+                radius=0.3,
+                material=MaterialData(
+                    kind=MaterialKind.EMISSIVE, color=(0.9, 0.9, 1.0), param=30.0
+                ),
+            ),
+        )
+        if sphere_light
+        else ()
+    )
+    return SceneData(
+        scene_name="trilight",
+        output_settings=OutputSettings(image_width=w, image_height=h, pixel_size=16.0),
+        background=(0.0, 0.0, 0.0),
+        shapes=shapes,
+        camera_settings=CameraSettings(
+            eye=(0.0, 2.0, 7.0), look_at=(0.0, 1.0, 0.0), up=(0.0, 1.0, 0.0)
+        ),
+        camera_data=CameraData(
+            zoom_factor=1.0,
+            view_plane_distance=400.0,
+            focal_distance=7.0,
+            lens_radius=0.0,
+        ),
+    )
+
+
+class TestTriangleLights:
+    """NEE direct sampling of emissive triangles (uniform-area strategy,
+    ops/nee.py): same estimator contract as sphere lights — unbiased vs
+    the BSDF walk, large variance cut, depth-cap parity — plus the
+    triangle-only facing rule and the megakernel gate."""
+
+    def test_extraction_mixed_set(self):
+        lights = extract_lights(tri_light_scene(sphere_light=True))
+        assert lights is not None and lights.num_lights == 3
+        assert lights.has_tris
+        # Shapes order: 2 spheres, 1 plane, 2 triangles; lights follow
+        # shape order (sphere 2 comes after the triangles in shapes but
+        # sphere records precede triangle records only by scene order).
+        assert lights.kinds == ("tri", "tri", "sphere")
+        np.testing.assert_array_equal(
+            np.asarray(lights.shape_idx), [3, 4, 1]
+        )
+        assert float(lights.tri_area[0]) == pytest.approx(0.5)
+        # Authored normals point down at the floor.
+        np.testing.assert_allclose(
+            np.asarray(lights.tri_n)[:2], [[0, -1, 0], [0, -1, 0]], atol=1e-6
+        )
+        # Pick weights are normalized and favor the big bright quad.
+        assert float(np.asarray(lights.pick).sum()) == pytest.approx(1.0)
+
+    def test_sphere_only_layout_unchanged(self):
+        lights = extract_lights(light_scene())
+        assert not lights.has_tris
+        assert lights.kinds == () and lights.tri_v0 is None
+
+    def test_nee_converges_to_bsdf_image(self):
+        sd = tri_light_scene()
+        nee_img = _mean_image(sd, root=8, nee=True)
+        ref_img = _mean_image(sd, root=64, nee=False)
+        assert np.abs(nee_img - ref_img).mean() < 0.015
+        assert np.abs(nee_img.mean() - ref_img.mean()) < 0.01
+
+    def test_variance_reduction_small_quad(self):
+        sd = tri_light_scene(half=0.15, power=250.0)
+        truth = _mean_image(sd, root=32, nee=True)
+        mse = {}
+        for nee in (False, True):
+            img = _mean_image(sd, root=4, nee=nee, seed=9)  # 16 spp
+            mse[nee] = float(((img - truth) ** 2).mean())
+        assert mse[True] < 0.25 * mse[False], mse
+
+    def test_depth_cap_parity(self):
+        sd = tri_light_scene()
+        a = _mean_image(sd, root=8, nee=True, depth=1)
+        b = _mean_image(sd, root=8, nee=False, depth=1)
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_back_facing_light_is_dark_both_ways(self):
+        # Flipped winding: the quad emits upward only. The reference's
+        # one-sided emissive rule (materials.rs:44-49) must hold for BOTH
+        # estimators: the walk sees a non-facing hit (black) and NEE's
+        # cosθ_l ≤ 0 weighs the sample to zero.
+        sd = tri_light_scene(flip=True)
+        a = _mean_image(sd, root=4, nee=True)
+        b = _mean_image(sd, root=4, nee=False)
+        assert float(a.max()) < 1e-6 and float(b.max()) < 1e-6
+
+    def test_physical_mis_converges(self):
+        from flux_tpu.render import Renderer
+
+        sd = tri_light_scene()
+
+        def img(root, nee):
+            r = Renderer(sd, sample_root=root, max_depth=3, seed=0, nee=nee,
+                         physical=True, target_lanes=1 << 18)
+            return r.render_rows(0, sd.output_settings.image_height)
+
+        a = img(8, True)
+        b = img(64, False)
+        assert np.abs(a - b).mean() < 0.015
+        assert np.abs(a.mean() - b.mean()) < 0.01
+
+    def test_mixed_light_set_converges(self):
+        sd = tri_light_scene(sphere_light=True)
+        nee_img = _mean_image(sd, root=8, nee=True)
+        ref_img = _mean_image(sd, root=64, nee=False)
+        assert np.abs(nee_img - ref_img).mean() < 0.02
+        assert np.abs(nee_img.mean() - ref_img.mean()) < 0.012
+
+    def test_pallas_backend_gated(self):
+        with pytest.raises(ValueError, match="sphere lights only"):
+            Renderer(tri_light_scene(), 2, 2, nee=True, backend="pallas")
+
+
 class TestPartialConeClipping:
     """Horizon clipping of the NEE light cone (ops/nee.py): azimuth drawn
     only from the above-horizon arc with matching density — same mean
@@ -365,7 +521,7 @@ class TestPartialConeClipping:
             jnp.ones(n, jnp.float32),
             jnp.zeros(n, jnp.float32),
         )
-        d, w, _, _, _, _ = sample_light_dirs(
+        d, w, *_ = sample_light_dirs(
             lights, p, ux, uy, up, normal=normal if normal_arg else None
         )
         cos_s = dot(normal, d)
@@ -411,8 +567,8 @@ class TestPartialConeClipping:
             jnp.ones(n, jnp.float32),
             jnp.zeros(n, jnp.float32),
         )
-        _, w_full, _, _, _, _ = sample_light_dirs(lights, p, ux, uy, up)
-        _, w_clip, _, _, _, _ = sample_light_dirs(
+        _, w_full, *_ = sample_light_dirs(lights, p, ux, uy, up)
+        _, w_clip, *_ = sample_light_dirs(
             lights, p, ux, uy, up, normal=normal
         )
         np.testing.assert_allclose(
