@@ -411,6 +411,14 @@ def sample_light_dirs(lights: LightArrays, p: Vec3, ux, uy, upick, normal: Vec3 
 
     weight = Vec3(emit[0] * wgt, emit[1] * wgt, emit[2] * wgt)
     pdf = 1.0 / jnp.maximum(wgt, 1e-20)
+    if has_tris:
+        # Forward density in the IDENTICAL clamped form nee_pdf_toward uses
+        # (pick·r²/max(A·cosθ_l, ε)) rather than inverting the weight, so
+        # the MIS balance heuristic sees bit-matching forward/reverse
+        # densities even at grazing cosθ_l. Back-facing lanes (cosθ_l ≤ 0)
+        # carry weight 0, so their pdf value never reaches an estimator.
+        pdf_tri = pk * r2 / jnp.maximum(tarea * cos_l, np.float32(1e-12))
+        pdf = jnp.where(tri_mask, pdf_tri, pdf)
     return LightSample(
         d=d, weight=weight, sidx=sidx, pdf=pdf, center=Vec3(cx, cy, cz),
         radius=rad, tri_t=tri_t, tri_mask=tri_mask,

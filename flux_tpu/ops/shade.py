@@ -212,7 +212,13 @@ def bounce(
                 l_valid = jnp.where(
                     ls.tri_mask, ls.tri_t > np.float32(T_MIN), l_valid
                 )
-            lit = l_valid & ~occluded(scene, hit.point, ldir, t_l, lidx)
+            # Shadow rays stop a hair short of the light: points sampled on
+            # the shared edge of a multi-triangle light can otherwise be
+            # falsely occluded by the ADJACENT coplanar light triangle
+            # (only the picked one is index-excluded, and roundoff can put
+            # the neighbor's plane hit at t marginally below t_l).
+            t_sh = t_l * np.float32(1.0 - 1e-4)
+            lit = l_valid & ~occluded(scene, hit.point, ldir, t_sh, lidx)
         else:
             shadow = do_intersect(scene, hit.point, ldir)
             lit = shadow.mask & (shadow.shape == lidx)

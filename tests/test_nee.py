@@ -487,6 +487,76 @@ class TestTriangleLights:
         with pytest.raises(ValueError, match="sphere lights only"):
             Renderer(tri_light_scene(), 2, 2, nee=True, backend="pallas")
 
+    def test_forward_reverse_pdf_symmetry(self):
+        # Advisor r2: the MIS forward density (sample_light_dirs) and the
+        # reverse density (nee_pdf_toward) must agree — both sides now use
+        # the identically clamped pick·r²/max(A·cosθ_l, ε) form for
+        # triangle lanes instead of inverting the weight.
+        import jax.numpy as jnp
+
+        from flux_tpu.ops.nee import nee_pdf_toward, sample_light_dirs
+        from flux_tpu.vec import Vec3
+
+        lights = extract_lights(tri_light_scene(sphere_light=True))
+        rng = np.random.default_rng(3)
+        n = 256
+        p = Vec3(
+            jnp.asarray(rng.uniform(-2, 2, n), jnp.float32),
+            jnp.asarray(rng.uniform(0.0, 1.5, n), jnp.float32),
+            jnp.asarray(rng.uniform(-2, 2, n), jnp.float32),
+        )
+        ux = jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+        uy = jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+        up = jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+        ls = sample_light_dirs(lights, p, ux, uy, up)
+        rev = np.asarray(nee_pdf_toward(lights, p, ls.sidx, d=ls.d, t=ls.tri_t))
+        fwd = np.asarray(ls.pdf)
+        live = np.asarray(ls.weight.x) > 0
+        tri = np.asarray(ls.tri_mask) & live
+        sph = ~np.asarray(ls.tri_mask) & live
+        assert tri.any() and sph.any()
+        np.testing.assert_allclose(fwd[tri], rev[tri], rtol=1e-4)
+        np.testing.assert_allclose(fwd[sph], rev[sph], rtol=1e-4)
+
+    def test_shared_edge_shadow_not_self_occluded(self):
+        # Advisor r2: a shadow ray toward a point ON the shared edge of the
+        # two-triangle quad must not be falsely occluded by the ADJACENT
+        # coplanar light triangle (only the picked one is index-excluded).
+        # shade.py stops shadow rays at t_l·(1−1e-4); pin that contract on
+        # the any-hit primitive directly.
+        import jax.numpy as jnp
+
+        from flux_tpu.ops.intersect import occluded_sweep
+        from flux_tpu.scene import compile_scene
+        from flux_tpu.vec import Vec3
+
+        scene = compile_scene(tri_light_scene())
+        s = np.float32(0.5)
+        n = 64
+        u = jnp.linspace(0.02, 0.98, n).astype(jnp.float32)
+        # Shared diagonal runs (s, 3, -s) → (-s, 3, s).
+        qx, qy, qz = s - 2 * s * u, jnp.full_like(u, 3.0), -s + 2 * s * u
+        p = Vec3(
+            jnp.full_like(u, -1.5), jnp.zeros_like(u), jnp.full_like(u, 0.5)
+        )
+        dvx, dvy, dvz = qx - p.x, qy - p.y, qz - p.z
+        r = jnp.sqrt(dvx * dvx + dvy * dvy + dvz * dvz)
+        d = Vec3(dvx / r, dvy / r, dvz / r)
+        t_sh = r * np.float32(1.0 - 1e-4)
+        # Shapes order: sphere=0, plane=1, tri0=2, tri1=3.
+        occ = np.asarray(occluded_sweep(scene, p, d, t_sh, jnp.full_like(u, 2, jnp.int32)))
+        assert not occ.any(), f"{occ.sum()} edge shadow rays falsely occluded"
+        # Positive control: a genuine occluder strictly before the light
+        # (the matte sphere at (0.8, 0.5, 0)) is still caught at the
+        # shrunk t_max.
+        p2 = Vec3(jnp.full_like(u, 0.8), jnp.zeros_like(u), jnp.zeros_like(u))
+        d2 = Vec3(jnp.zeros_like(u), jnp.ones_like(u), jnp.zeros_like(u))
+        occ2 = np.asarray(
+            occluded_sweep(scene, p2, d2, jnp.full_like(u, 3.0) * np.float32(1.0 - 1e-4),
+                           jnp.full_like(u, 2, jnp.int32))
+        )
+        assert occ2.all()
+
 
 class TestPartialConeClipping:
     """Horizon clipping of the NEE light cone (ops/nee.py): azimuth drawn
