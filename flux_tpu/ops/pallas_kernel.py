@@ -46,6 +46,37 @@ __all__ = ["render_block_pallas"]
 LANES = 128  # pixel axis
 S_BLK = 64  # default samples per kernel instance (sublane axis)
 
+# Two-level AABB skip: blocks per superblock, and the block count below
+# which the second level cannot pay for its own tests. At N spheres the
+# single-level skip spends N/SCAN_BLOCK AABB tests per fold even when
+# almost everything is skipped; grouping SCAN_SUPER consecutive
+# Morton-sorted blocks under one union AABB cuts that to
+# N/(SCAN_SUPER·SCAN_BLOCK) + entered·SCAN_SUPER.
+SCAN_SUPER = 8
+TRI_SUPER = 8
+SUPER_ENGAGE = 16  # min block count before the outer level engages
+
+
+def _superblock_pad_and_union(aabb, n_blocks, super_size):
+    """((n_blocks_padded, 6) AABBs, (n_super, 6) union AABBs, pad_blocks).
+
+    Pads the per-block AABB table to a ``super_size`` multiple with NaN
+    boxes (= empty; _aabb_any_hit's scalar guard never enters them) and
+    unions each group of ``super_size`` blocks nan-aware, so a group of
+    only-pad blocks is itself an empty NaN box."""
+    n_super = -(-n_blocks // super_size)
+    padb = n_super * super_size - n_blocks
+    if padb:
+        aabb = jnp.concatenate(
+            [aabb, jnp.full((padb, 6), np.nan, jnp.float32)]
+        )
+    g = aabb.reshape(n_super, super_size, 6)
+    sup = jnp.concatenate(
+        [jnp.nanmin(g[:, :, :3], axis=1), jnp.nanmax(g[:, :, 3:], axis=1)],
+        axis=1,
+    )
+    return aabb, sup, padb
+
 
 def default_s_blk(accel: str, num_spheres: int, num_triangles: int = 0) -> int:
     """Samples-per-tile heuristic. Smaller tiles buy nothing on the fused
@@ -88,8 +119,15 @@ def _kernel(
     light_i_ref,  # (L, 1) i32 sphere shape index
     light_p_ref,  # (L, 1) f32 power-proportional pick probability
     light_cdf_ref,  # (L, 1) f32 exclusive prefix sum of pick
+    light_it_ref,  # (L, 1) f32 0/1: row is a triangle light (dummy w/o tris)
+    light_tv0_ref,  # (L, 3) f32 triangle-light v0 (zeros on sphere rows)
+    light_te1_ref,  # (L, 3) f32 v1 - v0
+    light_te2_ref,  # (L, 3) f32 v2 - v0
+    light_tn_ref,  # (L, 3) f32 unit authored normal
+    light_ta_ref,  # (L, 1) f32 triangle area
     sphere_idx_ref,  # (Ns, 1) i32 sorted-position -> original sphere index
     aabb_ref,  # (n_blocks, 6) f32 SMEM per-block AABBs (scan mode)
+    super_aabb_ref,  # (n_super, 6) f32 SMEM per-SUPERBLOCK union AABBs
     tri_v0_ref,  # (Nt, 3) f32 triangle v0 (Morton-sorted; dummy (1,3) w/o tris)
     tri_e1_ref,  # (Nt, 3) f32
     tri_e2_ref,  # (Nt, 3) f32
@@ -99,6 +137,7 @@ def _kernel(
     tri_alb_ref,  # (Nt, 3) f32 color x param
     tri_idx_ref,  # (Nt, 1) i32 sorted-position -> original triangle index
     tri_aabb_ref,  # (n_tri_blocks, 6) f32 SMEM per-block AABBs
+    tri_super_aabb_ref,  # (n_tri_super, 6) f32 SMEM per-superblock unions
     out_ref,  # (8, LANES) f32 block; rows 0..2 = rgb sums
     *scratch,  # [st_ref when early_exit][scan_ref when scan skip][tri_ref when tri]
     img_w: int,
@@ -115,6 +154,9 @@ def _kernel(
     tri: bool,
     tri_skip: bool,
     unit_d: bool,
+    light_kinds: tuple,
+    scan_super: bool,
+    tri_super: bool,
 ):
     j = pl.program_id(1)
     si = 0
@@ -205,6 +247,23 @@ def _kernel(
             pick=light_p_ref[:, 0],
             cdf=light_cdf_ref[:, 0],
         )
+        if "tri" in light_kinds:
+            # Triangle lights: same sample_light_dirs / nee_pdf_toward code
+            # as the XLA path (static per-light select loops — no gathers,
+            # Mosaic-clean). Their shape indices arrive pre-remapped to the
+            # kernel's rebuilt numbering (see render_block_pallas).
+            import dataclasses as _dc
+
+            lights_v = _dc.replace(
+                lights_v,
+                is_tri=light_it_ref[:, 0],
+                tri_v0=light_tv0_ref[...],
+                tri_e1=light_te1_ref[...],
+                tri_e2=light_te2_ref[...],
+                tri_n=light_tn_ref[...],
+                tri_area=light_ta_ref[:, 0],
+                kinds=light_kinds,
+            )
 
     from .intersect import Intersector, _T_MIN
 
@@ -257,7 +316,63 @@ def _kernel(
         hit = nan | enter
         if need is not None:
             hit &= need
-        return jnp.any(hit)
+        # EMPTY boxes are tagged NaN by the layout builders (all-pad blocks,
+        # superblock-alignment padding): a NaN box turns every lane's t0/t1
+        # NaN, which the lane-NaN guard above would read as "hit". One
+        # scalar test on the box itself distinguishes the two cases so
+        # empty blocks are truly skipped.
+        return jnp.any(hit) & jnp.logical_not(jnp.isnan(lox))
+
+    def _skip_loop(n_blocks, box_ref, sbox_ref, super_size, o, inv_d,
+                   need_fn, cap_fn, cap_strict, fold):
+        """fori_loop over blocks, folding only those whose AABB some needed
+        lane's ray enters. With ``sbox_ref`` (per-SUPERBLOCK union AABBs over
+        ``super_size`` consecutive blocks), an outer loop skips whole groups
+        first — the two-level skip that keeps AABB-test cost O(N/(S·B))
+        instead of O(N/B) on large scenes. Bit-exact vs the single level:
+        the super box contains its blocks' boxes and the t_cap/need only
+        tighten over time, so any block a lane would enter lies in an
+        entered superblock. ``need_fn``/``cap_fn`` are re-read at every test
+        so occlusion masks and front-to-back caps stay current."""
+        inv_dx, inv_dy, inv_dz = inv_d
+
+        def blk(i):
+            @pl.when(
+                _aabb_any_hit(
+                    box_ref, i, o, inv_dx, inv_dy, inv_dz, need_fn(),
+                    t_cap=cap_fn(), cap_strict=cap_strict,
+                )
+            )
+            def _f():
+                fold(i)
+
+        if sbox_ref is None:
+            def body(i, carry):
+                blk(i)
+                return carry
+
+            jax.lax.fori_loop(0, n_blocks, body, jnp.int32(0))
+            return
+
+        n_super = -(-n_blocks // super_size)
+
+        def sbody(s, carry):
+            @pl.when(
+                _aabb_any_hit(
+                    sbox_ref, s, o, inv_dx, inv_dy, inv_dz, need_fn(),
+                    t_cap=cap_fn(), cap_strict=cap_strict,
+                )
+            )
+            def _desc():
+                def body(i, c2):
+                    blk(s * super_size + i)
+                    return c2
+
+                jax.lax.fori_loop(0, super_size, body, jnp.int32(0))
+
+            return carry
+
+        jax.lax.fori_loop(0, n_super, sbody, jnp.int32(0))
 
     intersect_fn = Intersector(mode="sweep")
     if accel == "scan":
@@ -321,33 +436,28 @@ def _kernel(
             a, inv_a = quad_a(scene_v, d)
 
             if scan_skip:
-                inv_dx, inv_dy, inv_dz = 1.0 / d.x, 1.0 / d.y, 1.0 / d.z
                 need = _alive_mask()
                 _write_carry(scan_carry_init(o.x))
 
-                def body(i, _):
-                    # Front-to-back prune: scan_ref[0] is the running
-                    # winner t, monotonically decreasing as blocks fold.
-                    @pl.when(
-                        _aabb_any_hit(
-                            aabb_ref, i, o, inv_dx, inv_dy, inv_dz, need,
-                            t_cap=scan_ref[0, :, :],
+                def _fold(i):
+                    ctr, rad, inv_r_b, kind, exp, alb, idx = _slice_block(
+                        i * SCAN_BLOCK
+                    )
+                    _write_carry(
+                        fold_sphere_block(
+                            o, d, a, inv_a, _read_carry(),
+                            ctr, rad, inv_r_b, kind, exp, alb, idx,
                         )
                     )
-                    def _fold():
-                        ctr, rad, inv_r_b, kind, exp, alb, idx = _slice_block(
-                            i * SCAN_BLOCK
-                        )
-                        _write_carry(
-                            fold_sphere_block(
-                                o, d, a, inv_a, _read_carry(),
-                                ctr, rad, inv_r_b, kind, exp, alb, idx,
-                            )
-                        )
 
-                    return _
-
-                jax.lax.fori_loop(0, n_blocks, body, jnp.int32(0))
+                # Front-to-back prune: scan_ref[0] is the running winner t,
+                # monotonically decreasing as blocks fold.
+                _skip_loop(
+                    n_blocks, aabb_ref,
+                    super_aabb_ref if scan_super else None, SCAN_SUPER,
+                    o, (1.0 / d.x, 1.0 / d.y, 1.0 / d.z),
+                    lambda: need, lambda: scan_ref[0, :, :], False, _fold,
+                )
                 return finish_scan_carry(scene_v, o, d, _read_carry())
 
             def body(i, carry):
@@ -376,31 +486,27 @@ def _kernel(
                 return ctr, rad, idx
 
             if scan_skip:
-                inv_dx, inv_dy, inv_dz = 1.0 / d.x, 1.0 / d.y, 1.0 / d.z
                 alive = _alive_mask()
                 scan_ref[11, :, :] = jnp.zeros((s_blk, LANES), jnp.float32)
 
-                def body(i, _):
+                def _need():
                     occ_now = scan_ref[11, :, :] > 0.0
-                    need = ~occ_now if alive is None else (alive & ~occ_now)
+                    return ~occ_now if alive is None else (alive & ~occ_now)
 
-                    @pl.when(
-                        _aabb_any_hit(
-                            aabb_ref, i, o, inv_dx, inv_dy, inv_dz, need,
-                            t_cap=t_max, cap_strict=True,
-                        )
+                def _fold(i):
+                    ctr, rad, idx = occ_slice(i * SCAN_BLOCK)
+                    occ2 = fold_occluded_block(
+                        o, d, a, inv_a, scan_ref[11, :, :] > 0.0,
+                        ctr, rad, t_max, exclude_idx, idx,
                     )
-                    def _fold():
-                        ctr, rad, idx = occ_slice(i * SCAN_BLOCK)
-                        occ2 = fold_occluded_block(
-                            o, d, a, inv_a, scan_ref[11, :, :] > 0.0,
-                            ctr, rad, t_max, exclude_idx, idx,
-                        )
-                        scan_ref[11, :, :] = occ2.astype(jnp.float32)
+                    scan_ref[11, :, :] = occ2.astype(jnp.float32)
 
-                    return _
-
-                jax.lax.fori_loop(0, n_blocks, body, jnp.int32(0))
+                _skip_loop(
+                    n_blocks, aabb_ref,
+                    super_aabb_ref if scan_super else None, SCAN_SUPER,
+                    o, (1.0 / d.x, 1.0 / d.y, 1.0 / d.z),
+                    _need, lambda: t_max, True, _fold,
+                )
                 occ = scan_ref[11, :, :] > 0.0
                 return _plane_occluded(scene_v, o, d, t_max, exclude_idx, occ)
 
@@ -476,7 +582,6 @@ def _kernel(
         def _tri_isect(scene_v, o, d):
             hit = base_isect(scene_v, o, d)
             if tri_skip:
-                inv_dx, inv_dy, inv_dz = 1.0 / d.x, 1.0 / d.y, 1.0 / d.z
                 need = _alive_mask()
                 # Seed the carry's winner t with the sphere/plane winner:
                 # merge_tri_hit only takes a triangle at tr_t < hit.t
@@ -489,24 +594,20 @@ def _kernel(
                 ci = tri_carry_init(o.x)
                 _tri_write((hit.t,) + ci[1:])
 
-                def body(i, _):
-                    # tri_ref[0] is the running winner t (seeded above).
-                    @pl.when(
-                        _aabb_any_hit(
-                            tri_aabb_ref, i, o, inv_dx, inv_dy, inv_dz, need,
-                            t_cap=tri_ref[0, :, :],
+                def _fold(i):
+                    _tri_write(
+                        fold_tri_block(
+                            o, d, _tri_read(), *_tri_slice(i * TRI_SCAN_BLOCK)
                         )
                     )
-                    def _fold():
-                        _tri_write(
-                            fold_tri_block(
-                                o, d, _tri_read(), *_tri_slice(i * TRI_SCAN_BLOCK)
-                            )
-                        )
 
-                    return _
-
-                jax.lax.fori_loop(0, n_tri_blocks, body, jnp.int32(0))
+                # tri_ref[0] is the running winner t (seeded above).
+                _skip_loop(
+                    n_tri_blocks, tri_aabb_ref,
+                    tri_super_aabb_ref if tri_super else None, TRI_SUPER,
+                    o, (1.0 / d.x, 1.0 / d.y, 1.0 / d.z),
+                    lambda: need, lambda: tri_ref[0, :, :], False, _fold,
+                )
                 return merge_tri_hit(hit, o, d, _tri_read(), tri_base)
 
             def body(i, carry):
@@ -527,7 +628,6 @@ def _kernel(
                     )
 
                 return jax.lax.fori_loop(0, n_tri_blocks, body, occ0)
-            inv_dx, inv_dy, inv_dz = 1.0 / d.x, 1.0 / d.y, 1.0 / d.z
             alive = _alive_mask()
             # Row 10 carries the occlusion mask (f32 0/1); the skip drops
             # blocks no not-yet-occluded live lane's shadow ray enters.
@@ -535,29 +635,26 @@ def _kernel(
                 occ0.astype(jnp.float32), (s_blk, LANES)
             )
 
-            def body(i, _):
+            def _need():
                 occ_now = tri_ref[10, :, :] > 0.0
-                need = ~occ_now if alive is None else (alive & ~occ_now)
+                return ~occ_now if alive is None else (alive & ~occ_now)
 
-                @pl.when(
-                    _aabb_any_hit(
-                        tri_aabb_ref, i, o, inv_dx, inv_dy, inv_dz, need,
-                        t_cap=t_max, cap_strict=True,
-                    )
+            def _fold(i):
+                v0, e1, e2, n3, kind, exp, alb, idx = _tri_slice(
+                    i * TRI_SCAN_BLOCK
                 )
-                def _fold():
-                    v0, e1, e2, n3, kind, exp, alb, idx = _tri_slice(
-                        i * TRI_SCAN_BLOCK
-                    )
-                    occ2 = fold_tri_occluded_block(
-                        o, d, tri_ref[10, :, :] > 0.0, v0, e1, e2,
-                        t_max, exclude_idx, idx, tri_base,
-                    )
-                    tri_ref[10, :, :] = occ2.astype(jnp.float32)
+                occ2 = fold_tri_occluded_block(
+                    o, d, tri_ref[10, :, :] > 0.0, v0, e1, e2,
+                    t_max, exclude_idx, idx, tri_base,
+                )
+                tri_ref[10, :, :] = occ2.astype(jnp.float32)
 
-                return _
-
-            jax.lax.fori_loop(0, n_tri_blocks, body, jnp.int32(0))
+            _skip_loop(
+                n_tri_blocks, tri_aabb_ref,
+                tri_super_aabb_ref if tri_super else None, TRI_SUPER,
+                o, (1.0 / d.x, 1.0 / d.y, 1.0 / d.z),
+                _need, lambda: t_max, True, _fold,
+            )
             return tri_ref[10, :, :] > 0.0
 
         _tri_isect.occluded = _tri_occluded
@@ -763,6 +860,33 @@ def render_block_pallas(
         sph_exp = L.exp.reshape(target_ns)
         sph_color = L.alb.reshape(target_ns, 3)
         sph_param = jnp.ones((target_ns,), jnp.float32)
+        # Two-level skip: union AABBs over SCAN_SUPER consecutive blocks;
+        # content arrays pad with unhittable NaN spheres to the superblock
+        # multiple so the inner fori_loop can slice any block in a group.
+        scan_super = bool(scan_skip) and L.n_blocks >= SUPER_ENGAGE
+        if scan_super:
+            scan_aabb, super_aabb, padb = _superblock_pad_and_union(
+                scan_aabb, L.n_blocks, SCAN_SUPER
+            )
+            if padb:
+                padn = padb * SCAN_BLOCK
+
+                def padrows(a, fill, tail=()):
+                    return jnp.concatenate(
+                        [a, jnp.full((padn,) + tail, fill, a.dtype)]
+                    )
+
+                sphere_center = padrows(sphere_center, np.nan, (3,))
+                sphere_radius = padrows(sphere_radius, 1.0)
+                sphere_invert = padrows(sphere_invert, 1.0)
+                sphere_idx = padrows(sphere_idx, -1, (1,))
+                sph_kind = padrows(sph_kind, 0)
+                sph_exp = padrows(sph_exp, 0.0)
+                sph_color = padrows(sph_color, 0.0, (3,))
+                sph_param = padrows(sph_param, 1.0)
+                target_ns += padn
+        else:
+            super_aabb = jnp.full((1, 6), np.nan, jnp.float32)
     else:
         target_ns = max(n_sph_real, 1)
         sph_mats = target_ns - n_sph_real
@@ -782,6 +906,8 @@ def render_block_pallas(
             sphere_invert = scene.sphere_invert
         sphere_idx = jnp.zeros((1, 1), jnp.int32)  # dummy (sweep needs none)
         scan_aabb = jnp.zeros((1, 6), jnp.float32)
+        scan_super = False
+        super_aabb = jnp.full((1, 6), np.nan, jnp.float32)
 
         def pad0(a, tail=()):
             if not sph_mats:
@@ -840,16 +966,44 @@ def render_block_pallas(
         tri_alb = TL.alb.reshape(ntt, 3)
         tri_idx = TL.idx.reshape(ntt, 1)
         tri_aabb = jnp.concatenate([TL.bmin, TL.bmax], axis=1)  # (ntb, 6)
+        tri_super = bool(tri_skip) and TL.n_blocks >= SUPER_ENGAGE
+        if tri_super:
+            tri_aabb, tri_super_aabb, padb = _superblock_pad_and_union(
+                tri_aabb, TL.n_blocks, TRI_SUPER
+            )
+            if padb:
+                padn = padb * TRI_SCAN_BLOCK
+
+                def padtri(a, fill, tail=()):
+                    return jnp.concatenate(
+                        [a, jnp.full((padn,) + tail, fill, a.dtype)]
+                    )
+
+                tri_v0 = padtri(tri_v0, np.nan, (3,))
+                tri_e1 = padtri(tri_e1, 0.0, (3,))
+                tri_e2 = padtri(tri_e2, 0.0, (3,))
+                tri_n = padtri(tri_n, 0.0, (3,))
+                tri_kind = padtri(tri_kind, 0, (1,))
+                tri_exp = padtri(tri_exp, 0.0, (1,))
+                tri_alb = padtri(tri_alb, 0.0, (3,))
+                tri_idx = padtri(tri_idx, -1, (1,))
+        else:
+            tri_super_aabb = jnp.full((1, 6), np.nan, jnp.float32)
     else:
         tri_v0 = tri_e1 = tri_e2 = tri_n = tri_alb = jnp.zeros((1, 3), jnp.float32)
         tri_kind = jnp.zeros((1, 1), jnp.int32)
         tri_exp = jnp.zeros((1, 1), jnp.float32)
         tri_idx = jnp.zeros((1, 1), jnp.int32)
         tri_aabb = jnp.zeros((1, 6), jnp.float32)
+        tri_super = False
+        tri_super_aabb = jnp.full((1, 6), np.nan, jnp.float32)
     ntt = tri_v0.shape[0]
     n_tri_blocks_aabb = tri_aabb.shape[0]
+    n_super_aabb = super_aabb.shape[0]
+    n_tri_super_aabb = tri_super_aabb.shape[0]
 
     nee = lights is not None
+    light_kinds = ()
     if nee:
         light_c = lights.center
         light_r = lights.radius.reshape(-1, 1)
@@ -864,6 +1018,30 @@ def render_block_pallas(
         light_i = jnp.zeros((1, 1), jnp.int32)
         light_p = jnp.ones((1, 1), jnp.float32)
         light_cdf = jnp.zeros((1, 1), jnp.float32)
+    if nee and lights.has_tris:
+        light_kinds = lights.kinds
+        light_it = lights.is_tri.reshape(-1, 1)
+        light_tv0 = lights.tri_v0
+        light_te1 = lights.tri_e1
+        light_te2 = lights.tri_e2
+        light_tn = lights.tri_n
+        light_ta = lights.tri_area.reshape(-1, 1)
+        # Triangle-light shape indices use the ORIGINAL numbering
+        # (spheres, planes, tris — extract_lights); the kernel's rebuilt
+        # scene numbers triangles from the PADDED sphere+plane count
+        # (tri_base above). Remap so hit.shape matching (emission
+        # suppression, MIS) and shadow-ray self-exclusion line up.
+        shift = np.int32((ns + npl_) - (n_sph_real + scene.num_planes))
+        if shift:
+            light_i = jnp.where(
+                light_it.astype(jnp.int32) > 0, light_i + shift, light_i
+            )
+    else:  # dummies keep the kernel ABI fixed
+        light_it = jnp.zeros((light_c.shape[0], 1), jnp.float32)
+        light_tv0 = light_te1 = light_te2 = light_tn = jnp.zeros(
+            (light_c.shape[0], 3), jnp.float32
+        )
+        light_ta = jnp.zeros((light_c.shape[0], 1), jnp.float32)
     n_lights = light_c.shape[0]
 
     scan_skip = bool(scan_skip and accel == "scan")
@@ -872,6 +1050,8 @@ def render_block_pallas(
         s_blk=s_blk, accel=accel, with_stats=with_stats, nee=nee,
         physical=physical, early_exit=early_exit, scan_skip=scan_skip,
         tri=tri, tri_skip=bool(tri and tri_skip), unit_d=scene.unit_d,
+        light_kinds=light_kinds, scan_super=scan_super,
+        tri_super=bool(tri and tri_super),
     )
     n_state = 15 if nee else 13
     scratch = (
@@ -925,8 +1105,15 @@ def render_block_pallas(
             whole((n_lights, 1)),
             whole((n_lights, 1)),
             whole((n_lights, 1)),
+            whole((n_lights, 1)),
+            whole((n_lights, 3)),
+            whole((n_lights, 3)),
+            whole((n_lights, 3)),
+            whole((n_lights, 3)),
+            whole((n_lights, 1)),
             whole((sphere_idx.shape[0], 1)),
             smem((n_blocks_aabb, 6)),
+            smem((n_super_aabb, 6)),
             whole((ntt, 3)),
             whole((ntt, 3)),
             whole((ntt, 3)),
@@ -936,6 +1123,7 @@ def render_block_pallas(
             whole((ntt, 3)),
             whole((ntt, 1)),
             smem((n_tri_blocks_aabb, 6)),
+            smem((n_tri_super_aabb, 6)),
         ],
         out_specs=pl.BlockSpec((8, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
@@ -968,8 +1156,15 @@ def render_block_pallas(
                 light_i,
                 light_p,
                 light_cdf,
+                light_it,
+                light_tv0,
+                light_te1,
+                light_te2,
+                light_tn,
+                light_ta,
                 sphere_idx,
                 scan_aabb,
+                super_aabb,
                 tri_v0,
                 tri_e1,
                 tri_e2,
@@ -979,6 +1174,7 @@ def render_block_pallas(
                 tri_alb,
                 tri_idx,
                 tri_aabb,
+                tri_super_aabb,
             ),
         )
     )

@@ -209,8 +209,11 @@ def bounce(
             )
             if ls.tri_mask is not None:
                 t_l = jnp.where(ls.tri_mask, ls.tri_t, t_l)
-                l_valid = jnp.where(
-                    ls.tri_mask, ls.tri_t > np.float32(T_MIN), l_valid
+                # Bitwise select, not jnp.where: a where over i1 vectors
+                # lowers through an i8 intermediate that Mosaic TPU cannot
+                # truncate back (arith.trunci i8 -> i1 is unsupported).
+                l_valid = (ls.tri_mask & (ls.tri_t > np.float32(T_MIN))) | (
+                    ~ls.tri_mask & l_valid
                 )
             # Shadow rays stop a hair short of the light: points sampled on
             # the shared edge of a multi-triangle light can otherwise be

@@ -249,19 +249,12 @@ class MeshRenderer:
             self.lights = extract_lights(scene_data)
         self.nee = self.lights is not None
         self.physical = bool(physical)
-        tri_lights = self.lights is not None and self.lights.has_tris
         if backend is None:
             # Same auto-select as Renderer: the megakernel (which includes
-            # the blocked triangle fold) on real TPU, XLA elsewhere —
-            # except triangle-light NEE, which is XLA-only (see Renderer).
+            # the blocked triangle fold and NEE over sphere AND triangle
+            # lights) on real TPU, XLA elsewhere.
             on_tpu = jax.default_backend() == "tpu"
-            backend = "pallas" if (on_tpu and not tri_lights) else "xla"
-        if backend == "pallas" and tri_lights:
-            raise ValueError(
-                "the pallas megakernel's NEE samples sphere lights only; "
-                "scenes with emissive triangles need backend='xla' for "
-                "nee=True"
-            )
+            backend = "pallas" if on_tpu else "xla"
         self.backend = backend
         self.interpret = bool(interpret)
         self._fns = {}

@@ -305,32 +305,21 @@ class Renderer:
         # cosine NEE weight) instead of the reference's cosine-free matte
         # estimator; see ops/brdf.py and ops/nee.py.
         self.physical = bool(physical)
-        tri_lights = self.lights is not None and self.lights.has_tris
         if backend is None:
             # The megakernel wins ~2-4x on TPU hardware; everywhere else
             # (CPU, GPU) its Mosaic TPU lowering cannot run, so only an
             # actual TPU backend selects it. It implements sweep, scan (as
-            # the VMEM carry-style scan), sphere-light NEE, and the blocked
-            # triangle fold; BVH traversal and triangle-light NEE live in
-            # the XLA path.
+            # the VMEM carry-style scan), the blocked triangle fold, and
+            # NEE over sphere AND triangle lights; only BVH traversal
+            # lives solely in the XLA path.
             on_tpu = jax.default_backend() == "tpu"
-            backend = (
-                "pallas" if (on_tpu and self.bvh is None and not tri_lights)
-                else "xla"
-            )
+            backend = "pallas" if (on_tpu and self.bvh is None) else "xla"
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
         if backend == "pallas" and self.bvh is not None:
             raise ValueError(
                 "the pallas megakernel does not implement BVH traversal; "
                 "use backend='xla' for accel='bvh'"
-            )
-        if backend == "pallas" and tri_lights:
-            raise ValueError(
-                "the pallas megakernel's NEE samples sphere lights only; "
-                "scenes with emissive triangles need backend='xla' for "
-                "nee=True (emissive triangles still render fine without "
-                "NEE — the BSDF walk finds them)"
             )
         self.backend = backend
         # Morton triangle block layout for the megakernel, built ONCE here

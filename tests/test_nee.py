@@ -154,6 +154,24 @@ class TestMeshAndCheckpoint:
         single = _mean_image(sd, root=4, nee=True)
         np.testing.assert_allclose(out, single, rtol=2e-5, atol=2e-5)
 
+    def test_mesh_tri_light_nee_matches_single_device(self):
+        # Triangle lights ride the same LightArrays pytree through
+        # shard_map; the mesh render must match the single-device one.
+        import jax
+
+        from flux_tpu.parallel import MeshRenderer, make_mesh
+
+        sd = tri_light_scene(sphere_light=True)
+        mr = MeshRenderer(
+            sd, sample_root=4, max_depth=3, seed=0, nee=True,
+            mesh=make_mesh(jax.devices()[:8], rows_shards=2),
+            target_lanes=1 << 16,
+        )
+        assert mr.lights is not None and mr.lights.has_tris
+        out = mr.render_rows(0, sd.output_settings.image_height)
+        single = _mean_image(sd, root=4, nee=True)
+        np.testing.assert_allclose(out, single, rtol=2e-5, atol=2e-5)
+
     def test_checkpoint_fingerprint_includes_nee(self, tmp_path):
         sd = light_scene()
         a = ProgressiveRenderer(sd, sample_root=2, max_depth=2, seed=1, nee=True,
@@ -483,9 +501,13 @@ class TestTriangleLights:
         assert np.abs(nee_img - ref_img).mean() < 0.02
         assert np.abs(nee_img.mean() - ref_img.mean()) < 0.012
 
-    def test_pallas_backend_gated(self):
-        with pytest.raises(ValueError, match="sphere lights only"):
-            Renderer(tri_light_scene(), 2, 2, nee=True, backend="pallas")
+    def test_pallas_backend_accepts_tri_lights(self):
+        # Round 3: the megakernel samples triangle lights in-kernel (the
+        # former "sphere lights only" gate is gone). Construction must
+        # succeed; radiance parity is pinned in
+        # tests/test_pallas.py::test_triangle_light_nee_parity.
+        r = Renderer(tri_light_scene(), 2, 2, nee=True, backend="pallas")
+        assert r.backend == "pallas" and r.nee
 
     def test_forward_reverse_pdf_symmetry(self):
         # Advisor r2: the MIS forward density (sample_light_dirs) and the

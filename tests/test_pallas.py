@@ -171,6 +171,60 @@ def test_scan_skip_nee_matches_unskipped():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_two_level_scan_skip_parity():
+    """560 spheres = 18 blocks >= SUPER_ENGAGE: the superblock (two-level)
+    AABB skip engages, pads the block table to a SCAN_SUPER multiple, and
+    must remain a pure scheduling change — bit-identical to the unskipped
+    fold. (Cross-backend kernel-vs-XLA-scan parity is pinned separately by
+    test_triangle_scan_accel_parity; real-chip A/B checksums matched at
+    4096 spheres, NOTES.md round 3.)"""
+    from flux_tpu.genscene import sphere_field
+    from flux_tpu.ops.intersect import SCAN_BLOCK
+    from flux_tpu.ops.pallas_kernel import SUPER_ENGAGE
+
+    sd = sphere_field(560, 4, width=24, height=8)
+    scene = compile_scene(sd)
+    assert -(-scene.num_spheres // SCAN_BLOCK) >= SUPER_ENGAGE
+    cam = camera_arrays(
+        sd.camera_settings, sd.camera_data, sd.output_settings.pixel_size
+    )
+    # early_exit off: without the scratch state machine the skip's need
+    # mask is simply None (every lane tested) — the two-level containment
+    # argument is unchanged, and the interpret-mode compile halves.
+    kw = dict(img_w=24, img_h=8, n_rows=8, n_samples=2, root=2, max_depth=2,
+              accel="scan", interpret=True, early_exit=False)
+    a = render_block_pallas(
+        scene, cam, np.int32(0), np.uint32(0), np.uint32(3), scan_skip=True, **kw
+    )
+    b = render_block_pallas(
+        scene, cam, np.int32(0), np.uint32(0), np.uint32(3), scan_skip=False, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_two_level_tri_skip_parity():
+    """320 triangles = 20 blocks >= SUPER_ENGAGE: the triangle superblock
+    skip engages; bit-identical to the unskipped triangle fold."""
+    from flux_tpu.ops.intersect import TRI_SCAN_BLOCK
+    from flux_tpu.ops.pallas_kernel import SUPER_ENGAGE
+
+    sd = _tri_scene(w=16, h=8, subdiv=2)
+    scene = compile_scene(sd)
+    assert -(-scene.num_triangles // TRI_SCAN_BLOCK) >= SUPER_ENGAGE
+    cam = camera_arrays(
+        sd.camera_settings, sd.camera_data, sd.output_settings.pixel_size
+    )
+    kw = dict(img_w=16, img_h=8, n_rows=4, n_samples=2, root=2, max_depth=2,
+              interpret=True)
+    a = render_block_pallas(
+        scene, cam, np.int32(0), np.uint32(0), np.uint32(3), tri_skip=True, **kw
+    )
+    b = render_block_pallas(
+        scene, cam, np.int32(0), np.uint32(0), np.uint32(3), tri_skip=False, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_scan_sphere_free_scene_kernel():
     """Plane-only scene through the megakernel's scan path (regression:
     the sorted layout must tolerate num_spheres == 0)."""
@@ -300,17 +354,109 @@ def test_triangle_nee_parity():
     )
     lights = extract_lights(sd)
     assert lights is not None
-    for physical in (False, True):
-        kw = dict(img_w=24, img_h=16, n_rows=6, n_samples=3, root=2,
-                  max_depth=3, lights=lights, physical=physical)
-        a = render_block(
-            scene, cam, np.int32(0), np.uint32(0), np.uint32(5), **kw
-        )
-        b = render_block_pallas(
-            scene, cam, np.int32(0), np.uint32(0), np.uint32(5),
-            interpret=True, **kw
-        )
-        _assert_ulp_equal(np.asarray(a), np.asarray(b))
+    # One transport mode (physical=True is the superset: MIS reverse
+    # density + suppression + shadow folds all carry weight), depth 2,
+    # and early_exit off — the state machine is pinned as a pure
+    # scheduling change elsewhere, and since round 3 this light set has
+    # triangle rows, making the kernel program an interpret-mode compile
+    # monster (compile time is superlinear in the unrolled bounces).
+    kw = dict(img_w=24, img_h=16, n_rows=6, n_samples=3, root=2,
+              max_depth=2, lights=lights, physical=True)
+    a = render_block(
+        scene, cam, np.int32(0), np.uint32(0), np.uint32(5), **kw
+    )
+    b = render_block_pallas(
+        scene, cam, np.int32(0), np.uint32(0), np.uint32(5),
+        interpret=True, early_exit=False, **kw
+    )
+    _assert_ulp_equal(np.asarray(a), np.asarray(b))
+
+
+def test_triangle_light_nee_parity():
+    """Triangle lights sampled IN-KERNEL (uniform-area NEE): the quad light
+    actually illuminates the floor here (unlike test_triangle_nee_parity's
+    side-facing glow), so the tri-light direct term, shadow rays with
+    tri_t, emission suppression, and the MIS reverse density all carry
+    weight — 1-ulp parity with the XLA path in both transport modes."""
+    from flux_tpu.ops.nee import extract_lights
+    from tests.test_nee import tri_light_scene
+
+    sd = tri_light_scene(sphere_light=True)
+    scene = compile_scene(sd)
+    cam = camera_arrays(
+        sd.camera_settings, sd.camera_data, sd.output_settings.pixel_size
+    )
+    lights = extract_lights(sd)
+    assert lights is not None and lights.has_tris
+    # Physical (MIS) mode exercises the superset: the tri-light forward
+    # density, the reverse density at BSDF hits, glossy NEE, plus the
+    # shadow/suppression machinery. Reference-mode tri NEE parity is
+    # pinned by test_triangle_light_nee_remap_padded_base below.
+    # early_exit=False and depth 2 (camera → NEE vertex → MIS-weighted
+    # light hit — the full estimator in two bounces): interpret-mode XLA
+    # compile time is superlinear in the unrolled program, and each extra
+    # bounce inlines the whole intersect+NEE machinery again.
+    kw = dict(img_w=32, img_h=24, n_rows=8, n_samples=4, root=2,
+              max_depth=2, lights=lights, physical=True)
+    a = render_block(
+        scene, cam, np.int32(8), np.uint32(0), np.uint32(11), **kw
+    )
+    b = render_block_pallas(
+        scene, cam, np.int32(8), np.uint32(0), np.uint32(11),
+        interpret=True, early_exit=False, **kw
+    )
+    aa, bb = np.asarray(a), np.asarray(b)
+    assert aa.max() > 0.0, "tri light must actually illuminate the band"
+    _assert_ulp_equal(aa, bb)
+
+
+def test_triangle_light_nee_remap_padded_base():
+    """Tri-light shape indices must be remapped to the kernel's rebuilt
+    numbering whenever the kernel pads the sphere table (the padded
+    sphere+plane base shifts every triangle index): emission suppression
+    and shadow self-exclusion would silently misfire otherwise. A
+    SPHERE-FREE scene forces the shift on the cheap sweep path (the
+    kernel inserts one fake sphere, so base moves 2 → 3; the scan path's
+    SCAN_BLOCK padding shifts by 30 through the identical code — covered
+    on the real chip, NOTES.md round 3). A wrong shift self-occludes the
+    quad's own shadow rays, so parity here is a sharp detector."""
+    from flux_tpu.ops.nee import extract_lights
+    from tests.test_nee import tri_light_scene
+
+    base_sd = tri_light_scene()
+    sd = base_sd.__class__(
+        scene_name=base_sd.scene_name,
+        output_settings=base_sd.output_settings,
+        background=base_sd.background,
+        shapes=tuple(s for s in base_sd.shapes if not hasattr(s, "radius")),
+        camera_settings=base_sd.camera_settings,
+        camera_data=base_sd.camera_data,
+    )
+    scene = compile_scene(sd)
+    assert scene.num_spheres == 0 and scene.num_triangles == 2
+    cam = camera_arrays(
+        sd.camera_settings, sd.camera_data, sd.output_settings.pixel_size
+    )
+    lights = extract_lights(sd)
+    assert lights is not None and lights.has_tris
+    kw = dict(img_w=32, img_h=24, n_rows=8, n_samples=4, root=2,
+              max_depth=2, lights=lights)
+    a = render_block(
+        scene, cam, np.int32(8), np.uint32(0), np.uint32(11), **kw
+    )
+    b = render_block_pallas(
+        scene, cam, np.int32(8), np.uint32(0), np.uint32(11),
+        interpret=True, early_exit=False, **kw
+    )
+    aa = np.asarray(a)
+    assert aa.max() > 0.0, "quad light must illuminate the floor band"
+    # 4-ulp bound, not 1: reference-mode NEE runs the partial-cone
+    # clipping trig chain (frame build → arc arccos polynomial → angle
+    # addition), whose longer dependency chains let XLA CPU's differing
+    # FMA contraction drift a couple of ulps across the two programs
+    # (observed max 2). A remap misfire self-occludes whole shadow terms
+    # — off by factors, far beyond any ulp bound.
+    _assert_ulp_equal(aa, np.asarray(b), max_ulp=4)
 
 
 def test_triangle_early_exit_matches_straightline():
