@@ -112,6 +112,24 @@ def main():
     except Exception as e:
         extra["mesh1280_16spp"] = {"error": repr(e)}
     try:
+        # Cornell box (demo5): a triangle QUAD light sampled in-kernel —
+        # the megakernel's triangle-light NEE path (round 3).
+        sd5 = load_scene(os.path.join(here, "scenes", "demo5.yml"))
+        w5_, h5_ = (sd5.output_settings.image_width,
+                    sd5.output_settings.image_height)
+        r5 = Renderer(sd5, sample_root=32, max_depth=DEPTH, seed=0, nee=True)
+        r5.render_rows(0, h5_)
+        t0 = time.time()
+        r5.render_image(rows_per_band=h5_)
+        w5 = time.time() - t0
+        extra["cornell_tri_light_nee_1024spp"] = {
+            "wall_clock_s": round(w5, 2),
+            "msamples_per_s": round(w5_ * h5_ * 1024 / w5 / 1e6, 1),
+            "backend": r5.backend,
+        }
+    except Exception as e:
+        extra["cornell_tri_light_nee_1024spp"] = {"error": repr(e)}
+    try:
         with open(os.path.join(here, "artifacts", "bench_extra.json"), "w") as f:
             json.dump(extra, f, indent=1)
     except Exception:
