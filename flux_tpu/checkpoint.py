@@ -52,7 +52,10 @@ def _config_fingerprint(
     # Estimator flags enter the hash only when set, so checkpoints written
     # before a flag existed (or with it off) keep their fingerprints.
     if nee:
-        cfg["nee"] = True
+        # NEE estimator version: v2 = exact sphere-lane shadow t_l (the
+        # round-4 advisor fix — the (1−1e-4) shrink is triangle-only now),
+        # a bit-level estimator change; resumed sums must not mix versions.
+        cfg["nee"] = 2
     if physical:
         cfg["physical"] = True
     blob = json.dumps(cfg, sort_keys=True).encode()

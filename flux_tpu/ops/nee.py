@@ -416,8 +416,14 @@ def sample_light_dirs(lights: LightArrays, p: Vec3, ux, uy, upick, normal: Vec3 
         # (pick·r²/max(A·cosθ_l, ε)) rather than inverting the weight, so
         # the MIS balance heuristic sees bit-matching forward/reverse
         # densities even at grazing cosθ_l. Back-facing lanes (cosθ_l ≤ 0)
-        # carry weight 0, so their pdf value never reaches an estimator.
-        pdf_tri = pk * r2 / jnp.maximum(tarea * cos_l, np.float32(1e-12))
+        # are zeroed exactly like nee_pdf_toward zeroes them — the invariant
+        # must hold on the pdf itself, not rest on every consumer also
+        # multiplying by the (zero) weight.
+        pdf_tri = jnp.where(
+            cos_l > 0.0,
+            pk * r2 / jnp.maximum(tarea * cos_l, np.float32(1e-12)),
+            0.0,
+        )
         pdf = jnp.where(tri_mask, pdf_tri, pdf)
     return LightSample(
         d=d, weight=weight, sidx=sidx, pdf=pdf, center=Vec3(cx, cy, cz),

@@ -139,7 +139,7 @@ def _kernel(
     tri_aabb_ref,  # (n_tri_blocks, 6) f32 SMEM per-block AABBs
     tri_super_aabb_ref,  # (n_tri_super, 6) f32 SMEM per-superblock unions
     out_ref,  # (8, LANES) f32 block; rows 0..2 = rgb sums
-    *scratch,  # [st_ref when early_exit][scan_ref when scan skip][tri_ref when tri]
+    *scratch,  # [st_ref if early_exit True | alive_ref if "cond"+skip][scan_ref][tri_ref]
     img_w: int,
     img_h: int,
     root: int,
@@ -149,7 +149,7 @@ def _kernel(
     with_stats: bool,
     nee: bool,
     physical: bool,
-    early_exit: bool,
+    early_exit,  # True (scratch form) | "cond" (register form) | False
     scan_skip: bool,
     tri: bool,
     tri_skip: bool,
@@ -161,8 +161,15 @@ def _kernel(
     j = pl.program_id(1)
     si = 0
     st_ref = None
-    if early_exit:
+    alive_ref = None
+    if early_exit is True:
         st_ref = scratch[si]
+        si += 1
+    elif early_exit == "cond" and (scan_skip or (tri and tri_skip)):
+        # Register-carried early exit still needs the alive mask visible to
+        # the block-skip folds (they only see (scene, o, d)); one VMEM row,
+        # refreshed at the top of every bounce, stands in for st_ref[12].
+        alive_ref = scratch[si]
         si += 1
     scan_ref = None
     if scan_skip:
@@ -269,8 +276,13 @@ def _kernel(
 
     def _alive_mask():
         # Lanes alive entering the current bounce (early-exit scratch
-        # holds the pre-bounce state; it is written before depth 1).
-        return (st_ref[12, :, :] > 0.0) if st_ref is not None else None
+        # holds the pre-bounce state; it is written before depth 1). The
+        # register-carried ("cond") form refreshes alive_ref instead.
+        if st_ref is not None:
+            return st_ref[12, :, :] > 0.0
+        if alive_ref is not None:
+            return alive_ref[0, :, :] > 0.0
+        return None
 
     def _aabb_any_hit(box_ref, i, o, inv_dx, inv_dy, inv_dz, need, t_cap=None,
                       cap_strict=False):
@@ -662,6 +674,13 @@ def _kernel(
 
     def make_step(depth):
         def step(st):
+            if alive_ref is not None:
+                # Refresh the alive row the block-skip folds read (the
+                # register-carried form has no st_ref[12]); covers the
+                # s_limit padding lanes from depth 1 on.
+                alive_ref[0, :, :] = jnp.broadcast_to(
+                    st.alive.astype(jnp.float32), (s_blk, LANES)
+                )
             pat = hash_combine(pixel_base, SALT_BOUNCE, np.uint32(depth))
             bx, by = bounce_point(s_idx, root, pat, depth)
             nee_samples = None
@@ -682,6 +701,47 @@ def _kernel(
     if not early_exit:
         for depth in range(1, max_depth + 1):
             state = make_step(depth)(state)
+    elif early_exit == "cond":
+        # Register-carried whole-tile early exit: the path state stays in
+        # vector registers across bounces and each depth ≥ 2 bounce runs
+        # under a value-yielding lax.cond on "any lane alive". Same skipped
+        # work as the scratch form below, minus its per-bounce VMEM
+        # round-trip of the full state (13–15 rows each way). Round 1's
+        # Mosaic crashed lowering a value-yielding cond over this many
+        # vector registers (NOTES.md); the current one compiles it — but
+        # only for f32 yields (an i1 vector in the carry still fails to
+        # legalize), so the bool fields cross the cond as f32 0/1. The
+        # bool↔f32 round-trip is exact, keeping the form bit-identical to
+        # the straight-line loop (pinned in tests/test_pallas.py).
+        # NOTE: _pack/_unpack and the scratch form's write_state/read_state
+        # below are the two serializations of the PathState field layout —
+        # when adding a PathState field, update BOTH pairs (and shade.py's
+        # PathState) or the new field silently resets across bounces in
+        # whichever form was missed.
+        def _pack(st):
+            return (
+                st.o, st.d, st.throughput, st.radiance,
+                st.alive.astype(jnp.float32),
+                st.suppress.astype(jnp.float32) if nee else None,
+                st.prev_pdf,
+            )
+
+        def _unpack(t):
+            o_, d_, tp, rd, al, sp, pp = t
+            return PathState(
+                o=o_, d=d_, throughput=tp, radiance=rd, alive=al > 0.0,
+                suppress=(sp > 0.0) if nee else None, prev_pdf=pp,
+            )
+
+        carried = _pack(make_step(1)(state))
+        for depth in range(2, max_depth + 1):
+            carried = jax.lax.cond(
+                jnp.any(carried[4] > 0.0),
+                lambda t, depth=depth: _pack(make_step(depth)(_unpack(t))),
+                lambda t: t,
+                carried,
+            )
+        state = _unpack(carried)
     else:
         # Whole-tile early exit. A tile is (s_blk samples × 128 CONTIGUOUS
         # pixels of one row), so path death is spatially coherent: sky/env
@@ -693,6 +753,9 @@ def _kernel(
         # form crashes the Mosaic compiler; see NOTES.md). Bool fields ride
         # as f32 0/1 (Mosaic VMEM has no i1 stores).
 
+        # NOTE: this pair and the cond form's _pack/_unpack above serialize
+        # the same PathState layout — keep all of them in sync when adding
+        # a field (see the note at _pack).
         def write_state(st):
             vals = [
                 st.o.x, st.o.y, st.o.z,
@@ -787,7 +850,7 @@ def render_block_pallas(
     with_stats: bool = False,
     lights=None,
     physical: bool = False,
-    early_exit: bool = True,
+    early_exit=True,  # True (VMEM-scratch form) | "cond" (register form) | False
     scan_skip: bool = True,
     row_stride: int = 1,
     scan_blocks=None,
@@ -1055,8 +1118,14 @@ def render_block_pallas(
     )
     n_state = 15 if nee else 13
     scratch = (
-        [pltpu.VMEM((n_state, s_blk, LANES), jnp.float32)] if early_exit else []
+        [pltpu.VMEM((n_state, s_blk, LANES), jnp.float32)]
+        if early_exit is True
+        else []
     )
+    if early_exit == "cond" and (scan_skip or (tri and tri_skip)):
+        # The register-carried form only spills the alive mask (for the
+        # block-skip folds' need test), not the whole path state.
+        scratch.append(pltpu.VMEM((1, s_blk, LANES), jnp.float32))
     if scan_skip:
         # 11 winner-carry rows + 1 occlusion row (see the kernel's scan
         # closures); ints ride as f32 (exact below 2^24).

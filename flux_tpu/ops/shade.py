@@ -215,12 +215,20 @@ def bounce(
                 l_valid = (ls.tri_mask & (ls.tri_t > np.float32(T_MIN))) | (
                     ~ls.tri_mask & l_valid
                 )
-            # Shadow rays stop a hair short of the light: points sampled on
-            # the shared edge of a multi-triangle light can otherwise be
-            # falsely occluded by the ADJACENT coplanar light triangle
-            # (only the picked one is index-excluded, and roundoff can put
-            # the neighbor's plane hit at t marginally below t_l).
-            t_sh = t_l * np.float32(1.0 - 1e-4)
+                # Triangle-light shadow rays stop a hair short of the light:
+                # points sampled on the shared edge of a multi-triangle light
+                # can otherwise be falsely occluded by the ADJACENT coplanar
+                # light triangle (only the picked one is index-excluded, and
+                # roundoff can put the neighbor's plane hit at t marginally
+                # below t_l). Sphere lanes keep the exact t_l: the shared-edge
+                # failure mode does not exist for spheres, and the relative
+                # shrink would otherwise open a 1e-4·t_l light-leak gap that
+                # grows with light distance.
+                t_sh = jnp.where(
+                    ls.tri_mask, t_l * np.float32(1.0 - 1e-4), t_l
+                )
+            else:
+                t_sh = t_l
             lit = l_valid & ~occluded(scene, hit.point, ldir, t_sh, lidx)
         else:
             shadow = do_intersect(scene, hit.point, ldir)

@@ -253,7 +253,9 @@ class Renderer:
         accel: Optional[str] = None,
         nee: bool = False,
         physical: bool = False,
+        early_exit=True,  # megakernel only: True (scratch) | "cond" | False
     ):
+        self.early_exit = early_exit
         self.scene_data = scene_data
         self.scene = compile_scene(scene_data)
         self.cam = camera_arrays(
@@ -382,6 +384,7 @@ class Renderer:
                 with_stats=with_stats,
                 lights=self.lights,
                 physical=self.physical,
+                early_exit=self.early_exit,
                 scan_blocks=self.isect.layout,
                 tri_blocks=self.tri_blocks,
             )

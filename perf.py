@@ -26,7 +26,13 @@ def main():
     ap.add_argument("--scene", default=None)
     ap.add_argument("--accel", default=None)
     ap.add_argument("--s-blk", type=int, default=None)
+    ap.add_argument(
+        "--early-exit", default="true", choices=["true", "false", "cond"],
+        help="megakernel early-exit form: scratch state machine (true), "
+        "register-carried lax.cond (cond), or straight-line (false)",
+    )
     args = ap.parse_args()
+    early_exit = {"true": True, "false": False, "cond": "cond"}[args.early_exit]
 
     from flux_tpu.render import Renderer
     from flux_tpu.scene import load_scene
@@ -37,7 +43,7 @@ def main():
     h = sd.output_settings.image_height
 
     r = Renderer(sd, sample_root=args.root, max_depth=args.depth, seed=0,
-                 nee=args.nee, accel=args.accel)
+                 nee=args.nee, accel=args.accel, early_exit=early_exit)
     if args.s_blk is not None:
         # Override the megakernel tile height for sweeps (experiment only).
         import flux_tpu.ops.pallas_kernel as pk

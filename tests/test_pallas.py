@@ -4,6 +4,8 @@ The kernel must produce bit-identical radiance sums to the XLA path — both
 consume the same counter-based sample streams and SoA ops, differing only
 in scheduling (ops/pallas_kernel.py)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -120,6 +122,67 @@ def test_early_exit_matches_straightline_nee():
     )
     b = render_block_pallas(
         scene, cam, np.int32(0), np.uint32(0), np.uint32(0), early_exit=False, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_early_exit_cond_matches_straightline():
+    """The register-carried early exit (``early_exit="cond"`` — path state
+    in vector registers, each bounce under a value-yielding lax.cond with
+    bools crossing as f32) must also be a pure scheduling change. Small
+    scene/depth on purpose: interpret-mode XLA:CPU compile time of nested
+    value-yielding conditionals over the full bounce body is superlinear
+    and minutes-scale at demo shapes. Real-chip (Mosaic) parity of the
+    cond form at full demo2/NEE/scan/tri-light shapes was verified
+    bit-exact on v5e (NOTES.md round 4); this pins the logic in CI."""
+    ball = SphereData(
+        center=(0.0, 1.0, 0.0),
+        radius=1.0,
+        material=MaterialData(
+            kind=MaterialKind.MATTE, color=(0.8, 0.5, 0.4), param=1.0
+        ),
+    )
+    sd = make_scene([env_sphere(1.0), ball], w=16, h=8)
+    scene = compile_scene(sd)
+    cam = camera_arrays(
+        sd.camera_settings, sd.camera_data, sd.output_settings.pixel_size
+    )
+    kw = dict(img_w=16, img_h=8, n_rows=8, n_samples=4, root=2, max_depth=3,
+              interpret=True)
+    a = render_block_pallas(
+        scene, cam, np.int32(0), np.uint32(0), np.uint32(3),
+        early_exit="cond", **kw
+    )
+    b = render_block_pallas(
+        scene, cam, np.int32(0), np.uint32(0), np.uint32(3),
+        early_exit=False, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_early_exit_cond_scan_skip_parity():
+    """The register-carried early exit must refresh the alive row the scan
+    skip's need mask reads (alive_ref stands in for st_ref[12]); a stale or
+    missing mask would let the skip fold blocks for dead/padded lanes or —
+    worse — skip blocks live lanes need. Pin bit-parity against the
+    straight-line unskipped fold on a scan scene (small shapes: see the
+    compile-time note on test_early_exit_cond_matches_straightline)."""
+    from flux_tpu.genscene import sphere_field
+
+    sd = sphere_field(70, 4, width=24, height=8)
+    scene = compile_scene(sd)
+    cam = camera_arrays(
+        sd.camera_settings, sd.camera_data, sd.output_settings.pixel_size
+    )
+    kw = dict(img_w=24, img_h=8, n_rows=8, n_samples=2, root=2, max_depth=2,
+              accel="scan", interpret=True)
+    a = render_block_pallas(
+        scene, cam, np.int32(0), np.uint32(0), np.uint32(3),
+        early_exit="cond", scan_skip=True, **kw
+    )
+    b = render_block_pallas(
+        scene, cam, np.int32(0), np.uint32(0), np.uint32(3),
+        early_exit=False, scan_skip=False, **kw
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
@@ -360,8 +423,58 @@ def test_triangle_nee_parity():
     # scheduling change elsewhere, and since round 3 this light set has
     # triangle rows, making the kernel program an interpret-mode compile
     # monster (compile time is superlinear in the unrolled bounces).
+    # Reference-mode depth-3 parity on this same scene is covered by the
+    # env-gated test_triangle_nee_parity_reference_depth3 below (run on
+    # the real chip / under FLUX_TPU_SLOW_TESTS=1), where Mosaic compiles
+    # the deep program in seconds instead of interpret-mode minutes.
     kw = dict(img_w=24, img_h=16, n_rows=6, n_samples=3, root=2,
               max_depth=2, lights=lights, physical=True)
+    a = render_block(
+        scene, cam, np.int32(0), np.uint32(0), np.uint32(5), **kw
+    )
+    b = render_block_pallas(
+        scene, cam, np.int32(0), np.uint32(0), np.uint32(5),
+        interpret=True, early_exit=False, **kw
+    )
+    _assert_ulp_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.skipif(
+    not os.environ.get("FLUX_TPU_SLOW_TESTS"),
+    reason="interpret-mode depth-3 NEE kernel compile is superlinear-slow; "
+    "set FLUX_TPU_SLOW_TESTS=1 (or run on a real chip) to include it",
+)
+def test_triangle_nee_parity_reference_depth3():
+    """Reference-mode (physical=False) sphere+tri mixed NEE parity at
+    depth 3 — the exact coverage test_triangle_nee_parity dropped when it
+    went depth 2 / physical-only (ADVICE r3). Tiny band and sample count
+    keep the unrolled program as small as the estimator allows; still
+    env-gated because interpret-mode XLA:CPU compile time of the depth-3
+    NEE+tri kernel is minutes even at these shapes."""
+    from flux_tpu.ops.nee import extract_lights
+    from flux_tpu.scene import TriangleData
+
+    light = SphereData(
+        center=(0.0, 4.0, 0.0), radius=0.5,
+        material=MaterialData(
+            kind=MaterialKind.EMISSIVE, color=(1.0, 0.95, 0.9), param=30.0
+        ),
+    )
+    glow = TriangleData(
+        v0=(-2.5, 0.2, 1.0), v1=(-1.5, 0.2, 1.0), v2=(-2.0, 1.2, 1.0),
+        material=MaterialData(
+            kind=MaterialKind.EMISSIVE, color=(0.2, 0.9, 1.0), param=4.0
+        ),
+    )
+    sd = _tri_scene(extra=[light, glow])
+    scene = compile_scene(sd)
+    cam = camera_arrays(
+        sd.camera_settings, sd.camera_data, sd.output_settings.pixel_size
+    )
+    lights = extract_lights(sd)
+    assert lights is not None and lights.has_tris
+    kw = dict(img_w=16, img_h=12, n_rows=4, n_samples=2, root=1,
+              max_depth=3, lights=lights, physical=False)
     a = render_block(
         scene, cam, np.int32(0), np.uint32(0), np.uint32(5), **kw
     )
@@ -462,7 +575,9 @@ def test_triangle_light_nee_remap_padded_base():
 def test_triangle_early_exit_matches_straightline():
     """The tri fold must be invariant to the whole-tile early exit (its
     alive-mask only makes the AABB skip more aggressive, never changes a
-    winner)."""
+    winner). The register-carried form's triangle interplay (alive_ref
+    feeding the tri skip) is pinned on the real chip (NOTES.md round 4);
+    interpret-mode conds over the tri fold are compile-prohibitive."""
     sd = _tri_scene()
     scene = compile_scene(sd)
     cam = camera_arrays(

@@ -60,6 +60,78 @@ def test_furnace_constant_env_is_transport_invariant():
     assert abs(float(a.mean()) - float(b.mean())) < 0.01
 
 
+def _furnace_scene(rho=0.6, L=1.0):
+    from tests.test_render import make_scene
+    from flux_tpu.scene import MaterialData, MaterialKind, SphereData
+
+    env = SphereData(
+        center=(0.0, 0.0, 0.0),
+        radius=100.0,
+        material=MaterialData(
+            kind=MaterialKind.EMISSIVE, color=(1.0, 1.0, 1.0), param=L
+        ),
+        invert=True,
+    )
+    ball = SphereData(
+        center=(0.0, 1.0, 0.0),  # on the camera axis; fills the narrow FOV
+        radius=2.0,
+        material=MaterialData(
+            kind=MaterialKind.MATTE, color=(rho, rho, rho), param=1.0
+        ),
+    )
+    return make_scene([env, ball], w=16, h=12)
+
+
+def test_furnace_convex_sphere_exact():
+    """The sharp furnace: a CONVEX matte sphere filling the frame under a
+    constant environment. Every bounce direction escapes (convexity ⇒ no
+    self-rehit), so each sample is exactly albedo × L with ZERO variance in
+    both transports — physical (f·cosθ/pdf ≡ ρ by the cosine-lobe
+    cancellation) and reference (the cosine-free constant-weight estimator,
+    brdf.rs:27-29 against uniform directions). Any normalization slip in
+    either estimator (a stray π, a lost 1/2π, a flipped pdf) shifts this
+    value deterministically — no MC tolerance to hide behind.
+
+    Physical mode is exact on EVERY pixel. Reference mode draws uniform
+    (not cosine-weighted) hemisphere directions, so ~1 sample in 10³ is
+    grazing enough (cosθ ≲ 1e-3) that the f32 sphere quadratic's
+    catastrophic cancellation (c = |o−C|²−R² with the origin ON the
+    sphere) manufactures a false self-re-hit above T_MIN — a bounded,
+    understood f32-vs-f64 boundary (the reference's f64 puts the same
+    error at ~1e-8 « T_MIN): the affected sample loses at most its full
+    ρ·L contribution. Assert exactness off the rare grazing lanes and the
+    per-pixel bound on them; test_furnace_oracle_exact_in_f64 pins that
+    the SAME sample stream in f64 has no deviation at all."""
+    rho, L = 0.6, 1.0
+    spp = 16
+    sd = _furnace_scene(rho, L)
+
+    img = _img(sd, root=4, physical=True, depth=2)
+    np.testing.assert_allclose(img, rho * L, rtol=0, atol=5e-5)
+
+    ref = _img(sd, root=4, physical=False, depth=2)
+    err = np.abs(ref - rho * L)
+    assert (err > 5e-5).mean() < 0.01, "more than rare grazing deviations"
+    assert err.max() <= rho * L / spp + 5e-5, "deviation exceeds one sample"
+
+
+def test_furnace_oracle_exact_in_f64():
+    """The f64 oracle renders the furnace exactly in BOTH transports on the
+    bitwise-identical sample stream — isolating the reference-mode f32
+    deviation above to arithmetic precision (the class of error the oracle
+    exists to audit), not to a different Monte Carlo estimate."""
+    from flux_tpu.oracle import oracle_render
+
+    rho, L = 0.6, 1.0
+    sd = _furnace_scene(rho, L)
+    for physical in (False, True):
+        img = oracle_render(sd, sample_root=4, max_depth=2, seed=0,
+                            physical=physical)
+        np.testing.assert_allclose(
+            img, rho * L, rtol=0, atol=1e-12, err_msg=f"physical={physical}"
+        )
+
+
 def test_physical_travels_in_job_config():
     from flux_tpu.job import Job, JobConfiguration, JobIDAllocator
     from flux_tpu.workers import default_renderer_factory
