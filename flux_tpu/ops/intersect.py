@@ -145,9 +145,16 @@ def _tri_cols(scene: SceneArrays, k):
 def _tri_blocks(scene: SceneArrays):
     """NaN-padded (n_blocks, TRI_BLOCK, 3) views of v0/e1/e2 + original
     index (−1 on padding). NaN v0 makes every comparison false, so padding
-    can never win — the same trick as the sphere ScanLayout."""
+    can never win — the same trick as the sphere ScanLayout.
+
+    The 3-block floor keeps the ``lax.scan`` a real loop: XLA's while-loop
+    simplifier unrolls shorter trip counts and the resulting inlined
+    fold sends XLA:CPU compile time pathological (see scan_layout). Only
+    reachable today when callers engage blocks past TRI_UNROLL_MAX = 2
+    blocks' worth of triangles, but cheap insurance against constant
+    drift."""
     nt = scene.num_triangles
-    nb = -(-nt // TRI_BLOCK)
+    nb = max(3, -(-nt // TRI_BLOCK))
     padn = nb * TRI_BLOCK - nt
 
     def pad(a, fill):
@@ -538,10 +545,18 @@ def scan_layout(scene: SceneArrays) -> ScanLayout:
     alb_tab = (scene.mat_color * scene.mat_param[:, None])[:ns]
     alb = jnp.take(alb_tab, order, axis=0)
 
-    # At least one (all-pad) block, so a sphere-free scene still yields a
-    # valid layout (the megakernel needs non-empty refs; an all-pad block's
-    # AABB is +inf/-inf and is skipped / never tests valid).
-    n_blocks = max(1, -(-ns // SCAN_BLOCK))
+    # At least THREE blocks. One (all-pad) block minimum keeps sphere-free
+    # scenes valid (the megakernel needs non-empty refs; pad entries never
+    # test valid). The floor is 3, not 1, because this environment's
+    # XLA:CPU compiles the ≤2-block scan program pathologically slowly
+    # (hour-plus, XLA's own "Very slow compile?" warning): a trip-count-1
+    # lax.scan gets unrolled by the while-loop simplifier, the block fold
+    # inlines into the surrounding render program, and the end gather's
+    # now-huge operand graph sends a later pass superlinear. Keeping ≥3
+    # blocks keeps the loop — an optimization barrier XLA's passes don't
+    # look through — and NaN pad blocks are bit-exact no-ops by the same
+    # discipline as ragged-tail padding (never valid, NaN AABBs skipped).
+    n_blocks = max(3, -(-ns // SCAN_BLOCK))
     padn = n_blocks * SCAN_BLOCK - ns
     f32 = jnp.float32
 
