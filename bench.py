@@ -65,17 +65,28 @@ def main():
 
     # Secondary metrics (never allowed to fail the headline): NEE quality
     # mode and the large-scene scan path, written to artifacts only — the
-    # stdout contract stays exactly one JSON line.
+    # stdout contract stays exactly one JSON line.  Each secondary is
+    # best-of-3 on a warm process: these renders are only ~0.5-3 s, so a
+    # single run is dominated by the axon tunnel's ±10% jitter (history
+    # showed 304/447/352 Msamples/s for demo2_nee across three rounds of
+    # unchanged code; the headline, at ~8 s/run, was stable).
+    def best_wall(render, reps=3):
+        ws = []
+        for _ in range(reps):
+            t0 = time.time()
+            render()
+            ws.append(time.time() - t0)
+        return min(ws), ws
+
     extra = {}
     try:
         r2 = Renderer(sd, sample_root=32, max_depth=DEPTH, seed=0, nee=True)
         r2.render_rows(0, H)
-        t0 = time.time()
-        r2.render_image(rows_per_band=H)
-        w2 = time.time() - t0
+        w2, runs2 = best_wall(lambda: r2.render_image(rows_per_band=H))
         extra["demo2_nee_1024spp"] = {
             "wall_clock_s": round(w2, 2),
             "msamples_per_s": round(W * H * 1024 / w2 / 1e6, 1),
+            "all_runs_s": [round(w, 2) for w in runs2],
         }
     except Exception as e:
         extra["demo2_nee_1024spp"] = {"error": repr(e)}
@@ -83,12 +94,11 @@ def main():
         sd3 = load_scene(os.path.join(here, "scenes", "spheres512.yml"))
         r3 = Renderer(sd3, sample_root=8, max_depth=DEPTH, seed=0)
         r3.render_rows(0, H)
-        t0 = time.time()
-        r3.render_image(rows_per_band=H)
-        w3 = time.time() - t0
+        w3, runs3 = best_wall(lambda: r3.render_image(rows_per_band=H))
         extra["spheres512_64spp_scan"] = {
             "wall_clock_s": round(w3, 2),
             "msamples_per_s": round(W * H * 64 / w3 / 1e6, 1),
+            "all_runs_s": [round(w, 2) for w in runs3],
         }
     except Exception as e:
         extra["spheres512_64spp_scan"] = {"error": repr(e)}
@@ -101,12 +111,11 @@ def main():
         sd4 = mesh_scene(v, fc, width=W, height=H)
         r4 = Renderer(sd4, sample_root=4, max_depth=DEPTH, seed=0)
         r4.render_rows(0, H)
-        t0 = time.time()
-        r4.render_image(rows_per_band=H)
-        w4 = time.time() - t0
+        w4, runs4 = best_wall(lambda: r4.render_image(rows_per_band=H))
         extra["mesh1280_16spp"] = {
             "wall_clock_s": round(w4, 2),
             "msamples_per_s": round(W * H * 16 / w4 / 1e6, 1),
+            "all_runs_s": [round(w, 2) for w in runs4],
             "backend": r4.backend,
         }
     except Exception as e:
@@ -119,12 +128,11 @@ def main():
                     sd5.output_settings.image_height)
         r5 = Renderer(sd5, sample_root=32, max_depth=DEPTH, seed=0, nee=True)
         r5.render_rows(0, h5_)
-        t0 = time.time()
-        r5.render_image(rows_per_band=h5_)
-        w5 = time.time() - t0
+        w5, runs5 = best_wall(lambda: r5.render_image(rows_per_band=h5_))
         extra["cornell_tri_light_nee_1024spp"] = {
             "wall_clock_s": round(w5, 2),
             "msamples_per_s": round(w5_ * h5_ * 1024 / w5 / 1e6, 1),
+            "all_runs_s": [round(w, 2) for w in runs5],
             "backend": r5.backend,
         }
     except Exception as e:

@@ -13,6 +13,27 @@ __version__ = "0.1.0"
 import os as _os
 
 
+def _host_fingerprint():
+    """Short stable id of this host's CPU capabilities (flags + model),
+    used to segregate persistent-cache entries per machine class."""
+    import hashlib
+    import platform as _platform
+
+    blob = _platform.machine()
+    seen = set()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                key = line.split(":", 1)[0].strip()
+                # One logical CPU is representative; take each field once.
+                if key in ("flags", "model name", "Features") and key not in seen:
+                    seen.add(key)
+                    blob += line
+    except OSError:
+        pass
+    return hashlib.sha256(blob.encode()).hexdigest()[:12]
+
+
 def _setup_compilation_cache():
     """Point every process at one persistent XLA compilation cache.
 
@@ -28,7 +49,19 @@ def _setup_compilation_cache():
     cache_dir = _os.environ.get("FLUX_TPU_CACHE_DIR")
     if not cache_dir:
         repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-        cache_dir = _os.path.join(repo, "artifacts", "xla_cache")
+        # Segregate the cache by host CPU fingerprint. XLA's cache key does
+        # NOT cover the target machine features: an AOT result compiled on
+        # one host loads on another with only a stderr warning ("could lead
+        # to execution errors such as SIGILL"), running codegen tuned for
+        # the other machine. Besides the SIGILL hazard, mixing one
+        # stale-cached program with one freshly compiled program yields two
+        # differently-contracted f32 binaries whose borderline compares can
+        # flip — observed as a spurious 1.4% cross-backend radiance
+        # divergence (vs 0 when both sides compile on the same host) when
+        # this repo directory moved machines between sessions.
+        cache_dir = _os.path.join(
+            repo, "artifacts", "xla_cache", _host_fingerprint()
+        )
     try:
         _os.makedirs(cache_dir, exist_ok=True)
         import jax

