@@ -49,6 +49,11 @@ def _config_fingerprint(
     # breaks the exact-resume guarantee). v2: murmur-finalizer randfloat +
     # per-depth bounce_point (MJ at depth 1, jittered beyond).
     cfg["sampler"] = 2
+    # Transport version: bumped on bit-level changes to the walk itself.
+    # v2 = prev-shape self-re-hit exclusion (ops/intersect.sphere_t
+    # ``on_self``): grazing-ray bounces that f32 noise used to capture no
+    # longer are, so resumed sums must not mix the two walks.
+    cfg["transport"] = 2
     # Estimator flags enter the hash only when set, so checkpoints written
     # before a flag existed (or with it off) keep their fingerprints.
     if nee:

@@ -343,6 +343,14 @@ def _preview_loop(args, scene, manager, builder, job, jobcfg) -> None:
                 jobcfg = dc_replace(jobcfg, sample_root=new_root)
                 job = manager.schedule_job(scene, jobcfg, builder.sender())
                 last = -1.0
+    # Final preview write: a job that completes inside the first 0.5 s
+    # wait (tiny warm-cache renders) breaks the loop before any in-loop
+    # refresh fired, and even otherwise the last in-loop snapshot may
+    # predate the final rows — always leave the finished frame behind.
+    img = builder.get_image()
+    if img is not None:
+        write_png(preview_path, img)
+        term.update(img.pixels)
     return job
 
 

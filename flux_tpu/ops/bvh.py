@@ -148,8 +148,11 @@ class SphereHit(NamedTuple):
     index: jnp.ndarray  # (B,) i32 original sphere index (0 when t == inf)
 
 
-def sphere_hits_bvh(scene: SceneArrays, bvh: BvhArrays, o: Vec3, d: Vec3) -> SphereHit:
-    """Nearest sphere hit for every lane via stackless threaded traversal."""
+def sphere_hits_bvh(scene: SceneArrays, bvh: BvhArrays, o: Vec3, d: Vec3, prev=None) -> SphereHit:
+    """Nearest sphere hit for every lane via stackless threaded traversal.
+    ``prev`` is the sphere index the ray originates on (previous bounce's
+    hit), whose quadratic gets the exact ``c = 0`` self-hit treatment —
+    see ops/intersect.sphere_t ``on_self``."""
     m = bvh.num_nodes
     batch = o.x.shape
 
@@ -202,7 +205,10 @@ def sphere_hits_bvh(scene: SceneArrays, bvh: BvhArrays, o: Vec3, d: Vec3) -> Sph
             sph = jnp.take(order_pad, fst + np.int32(k), axis=0)
             ctr = jnp.take(scene.sphere_center, sph, axis=0)  # (B, 3)
             rad = jnp.take(scene.sphere_radius, sph, axis=0)
-            t, valid = sphere_t(o, d, a, inv_a, ctr[..., 0], ctr[..., 1], ctr[..., 2], rad)
+            t, valid = sphere_t(
+                o, d, a, inv_a, ctr[..., 0], ctr[..., 1], ctr[..., 2], rad,
+                on_self=None if prev is None else prev == sph,
+            )
             good = slot_ok & valid & (t < best_t)
             best_t = jnp.where(good, t, best_t)
             best_i = jnp.where(good, sph, best_i)

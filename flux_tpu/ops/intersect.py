@@ -58,7 +58,7 @@ class Hit(NamedTuple):
 
 
 
-def sphere_t(o: Vec3, d: Vec3, a, inv_a, cx, cy, cz, radius):
+def sphere_t(o: Vec3, d: Vec3, a, inv_a, cx, cy, cz, radius, on_self=None):
     """The reference's ray-sphere quadratic (shapes.rs:176-211): near root
     preferred, far root accepted when the near one is behind T_MIN. Returns
     (t, valid). The single definition of the hit rule — the unrolled sweep,
@@ -69,10 +69,23 @@ def sphere_t(o: Vec3, d: Vec3, a, inv_a, cx, cy, cz, radius):
     (trace.rs:50, brdf.rs:26), so its f64 ``a`` IS 1 and dividing by our
     f32 ``a = 1 ± ulp`` only adds rounding noise — dropping it saves three
     multiplies per sphere per lane in the hottest loop of the program and
-    preserves T_MIN semantics (t stays in world units)."""
+    preserves T_MIN semantics (t stays in world units).
+
+    ``on_self`` (optional bool mask) marks lanes whose ray ORIGIN lies on
+    this very sphere (the previous bounce's hit point). There the true
+    ``c = |o−C|² − R²`` is 0, but its f32 evaluation carries ~ulp(R²)
+    noise — which at grazing exit angles (cosθ ≲ 1e-3) manufactures a
+    false root ≈ |c|/(2·b_half) above T_MIN: a self-re-hit the reference's
+    f64 (noise ~1e-8·R², shapes.rs:176-211) would never take. Forcing
+    ``c = 0`` on those lanes is EXACT: the roots become 0 and −2·b_half/a,
+    and the unchanged near/far selection then rejects outward exits
+    (both roots ≤ T_MIN) while keeping genuine re-entry through the
+    interior (far root 2·|b_half| for inward directions)."""
     ocx, ocy, ocz = o.x - cx, o.y - cy, o.z - cz
     b_half = ocx * d.x + ocy * d.y + ocz * d.z
     c = ocx * ocx + ocy * ocy + ocz * ocz - radius * radius
+    if on_self is not None:
+        c = jnp.where(on_self, 0.0, c)
     if a is None:
         disc = b_half * b_half - c
         e = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -168,10 +181,15 @@ def _tri_blocks(scene: SceneArrays):
     return pad(scene.tri_v0, np.nan), pad(scene.tri_e1, 0.0), pad(scene.tri_e2, 0.0), idx
 
 
-def triangle_nearest(scene: SceneArrays, o: Vec3, d: Vec3):
+def triangle_nearest(scene: SceneArrays, o: Vec3, d: Vec3, prev_tri=None):
     """Nearest triangle for every lane: (t, k) with t=inf / k=0 on miss.
     Unrolls small scenes; streams TRI_BLOCK chunks under ``lax.scan`` past
-    TRI_UNROLL_MAX (constant compile time, same VPU math)."""
+    TRI_UNROLL_MAX (constant compile time, same VPU math).
+
+    ``prev_tri`` (optional i32 lanes): triangle index the lane's ray origin
+    lies ON (previous bounce's hit), excluded outright — a flat triangle
+    can never be re-hit from its own surface, so any such hit is f32 noise
+    (the in-plane ``t ≈ 0 ± ulp`` root; see :func:`sphere_t` ``on_self``)."""
     nt = scene.num_triangles
     # Derived from o.x so the carry inherits its varying axes under
     # shard_map (same rule as scan_carry_init).
@@ -184,6 +202,8 @@ def triangle_nearest(scene: SceneArrays, o: Vec3, d: Vec3):
             v0, e1, e2 = _tri_cols(scene, k)
             t, valid = triangle_t(o, d, v0, e1, e2)
             cond = valid & (t < best_t)
+            if prev_tri is not None:
+                cond &= prev_tri != np.int32(k)
             best_t = jnp.where(cond, t, best_t)
             best_k = jnp.where(cond, np.int32(k), best_k)
         return best_t, best_k
@@ -203,6 +223,8 @@ def triangle_nearest(scene: SceneArrays, o: Vec3, d: Vec3):
             # Ties keep the lowest original triangle index, matching the
             # sweep's visit order (common.rs:16-24 tie discipline).
             cond = valid & ((t < bt) | ((t == bt) & (idx[k] < bk)))
+            if prev_tri is not None:
+                cond &= prev_tri != idx[k]
             bt = jnp.where(cond, t, bt)
             bk = jnp.where(cond, idx[k], bk)
         return (bt, bk), None
@@ -211,10 +233,13 @@ def triangle_nearest(scene: SceneArrays, o: Vec3, d: Vec3):
     return best_t, best_k
 
 
-def triangle_occluded(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx, occ):
+def triangle_occluded(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx, occ, origin_idx=None):
     """Fold triangles into an any-hit occlusion mask (the shadow-ray
     sibling of :func:`triangle_nearest`). ``exclude_idx`` is a full shape
-    index; triangles occupy [Ns+Np, Ns+Np+Nt)."""
+    index; triangles occupy [Ns+Np, Ns+Np+Nt). ``origin_idx`` (optional)
+    is the full shape index the shadow ray ORIGINATES on — its own
+    triangle is excluded outright (flat shapes cannot self-occlude; any
+    such hit is the f32 in-plane noise root)."""
     nt = scene.num_triangles
     if nt == 0:
         return occ
@@ -223,7 +248,10 @@ def triangle_occluded(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx, 
         for k in range(nt):
             v0, e1, e2 = _tri_cols(scene, k)
             t, valid = triangle_t(o, d, v0, e1, e2)
-            occ = occ | (valid & (t < t_max) & (exclude_idx != base + np.int32(k)))
+            blocks = valid & (t < t_max) & (exclude_idx != base + np.int32(k))
+            if origin_idx is not None:
+                blocks &= origin_idx != base + np.int32(k)
+            occ = occ | blocks
         return occ
 
     bv0, be1, be2, bidx = _tri_blocks(scene)
@@ -238,25 +266,32 @@ def triangle_occluded(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx, 
                 (e1b[k, 0], e1b[k, 1], e1b[k, 2]),
                 (e2b[k, 0], e2b[k, 1], e2b[k, 2]),
             )
-            oc = oc | (valid & (t < t_max) & (exclude_idx != base + idx[k]))
+            blocks = valid & (t < t_max) & (exclude_idx != base + idx[k])
+            if origin_idx is not None:
+                blocks &= origin_idx != base + idx[k]
+            oc = oc | blocks
         return oc, None
 
     occ, _ = jax.lax.scan(step, occ, (bv0, be1, be2, bidx))
     return occ
 
 
-def _fold_triangles(scene: SceneArrays, o: Vec3, d: Vec3, t, shape_idx, kind, alb, exp):
+def _fold_triangles(scene: SceneArrays, o: Vec3, d: Vec3, t, shape_idx, kind, alb, exp, prev=None):
     """Combine the triangle winner into the assembled (t, shape, kind,
     albedo, exponent) record — shared by every XLA intersection path. Also
     returns ``(use_tri, tri_normal)`` so the caller can fold the normal
     AFTER computing the hit point (sphere normals derive from it). Ties
     keep the incumbent: spheres/planes come first in shape order, matching
-    the reference's ``<=``-biased min (common.rs:16-24)."""
+    the reference's ``<=``-biased min (common.rs:16-24). ``prev`` is the
+    full-shape-index self-exclusion lane (see :func:`intersect`)."""
     nt = scene.num_triangles
     if nt == 0:
         return t, shape_idx, kind, alb, exp, None, None
     ns_np = np.int32(scene.num_spheres + scene.num_planes)
-    tr_t, tr_k = triangle_nearest(scene, o, d)
+    # prev − base: negative (never matches) for non-triangle prev shapes.
+    tr_t, tr_k = triangle_nearest(
+        scene, o, d, prev_tri=None if prev is None else prev - ns_np
+    )
     use_tri = tr_t < t
     t = jnp.minimum(t, tr_t)
     mrow = ns_np + tr_k
@@ -271,8 +306,15 @@ def _fold_triangles(scene: SceneArrays, o: Vec3, d: Vec3, t, shape_idx, kind, al
     return t, shape_idx, kind, alb, exp, use_tri, tri_n
 
 
-def intersect(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
-    """Nearest hit of the wavefront (o, d) against every shape."""
+def intersect(scene: SceneArrays, o: Vec3, d: Vec3, prev=None) -> Hit:
+    """Nearest hit of the wavefront (o, d) against every shape.
+
+    ``prev`` (optional i32 lanes) is the full shape index each lane's ray
+    ORIGINATES on — the previous bounce's hit (−1 for camera rays). The
+    previous sphere's quadratic is evaluated with its exact ``c = 0``
+    (:func:`sphere_t` ``on_self``) and the previous plane/triangle is
+    excluded outright, eliminating the grazing-angle f32 self-re-hits the
+    reference's f64 arithmetic never takes (shapes.rs:176-211)."""
     ns = scene.num_spheres
     npl = scene.num_planes
     batch = o.x.shape
@@ -321,7 +363,10 @@ def intersect(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
         cx, cy, cz = (scene.sphere_center[i, k] for k in range(3))
         radius = scene.sphere_radius[i]
         inv_r = scene.sphere_invert[i] / radius
-        t, valid = sphere_t(o, d, a, inv_a, cx, cy, cz, radius)
+        t, valid = sphere_t(
+            o, d, a, inv_a, cx, cy, cz, radius,
+            on_self=None if prev is None else prev == np.int32(i),
+        )
         cond = valid & (t < best_t)
         best_t = jnp.where(cond, t, best_t)
         take(
@@ -343,6 +388,10 @@ def intersect(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
         den = d.x * nx + d.y * ny + d.z * nz
         t = num / den  # den==0 -> ±inf/nan; both rejected below
         valid = t > _T_MIN
+        if prev is not None:
+            # A ray originating ON this plane can never re-hit it; any such
+            # hit is the f32 noise root num ≈ 0 ± ulp (see sphere_t on_self).
+            valid &= prev != np.int32(i)
         cond = valid & (t < best_t)
         best_t = jnp.where(cond, t, best_t)
         take(
@@ -364,7 +413,10 @@ def intersect(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
 
     # Triangles (scene extension; compiled out of triangle-free scenes).
     best_t, best_idx, best_kind, best_alb, best_exp, use_tri, tri_n = (
-        _fold_triangles(scene, o, d, best_t, best_idx, best_kind, best_alb, best_exp)
+        _fold_triangles(
+            scene, o, d, best_t, best_idx, best_kind, best_alb, best_exp,
+            prev=prev,
+        )
     )
 
     mask = jnp.isfinite(best_t)
@@ -391,7 +443,7 @@ def intersect(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
     )
 
 
-def intersect_bvh(scene: SceneArrays, bvh, o: Vec3, d: Vec3) -> Hit:
+def intersect_bvh(scene: SceneArrays, bvh, o: Vec3, d: Vec3, prev=None) -> Hit:
     """Nearest hit using the sphere BVH (ops/bvh.py) + linear plane sweep.
 
     Same Hit contract as :func:`intersect`; the per-shape unrolled sweep is
@@ -402,18 +454,18 @@ def intersect_bvh(scene: SceneArrays, bvh, o: Vec3, d: Vec3) -> Hit:
     """
     from .bvh import sphere_hits_bvh
 
-    sph = sphere_hits_bvh(scene, bvh, o, d)
+    sph = sphere_hits_bvh(scene, bvh, o, d, prev=prev)
     best_t = sph.t
 
-    pl_t, pl_j, pl_n = _plane_sweep(scene, o, d)
+    pl_t, pl_j, pl_n = _plane_sweep(scene, o, d, prev=prev)
     # Combine: ties keep the sphere, matching the sweep's shape ordering
     # (spheres first) and the reference's `<=`-biased min (common.rs:16-24).
     use_plane = pl_t < best_t
     t = jnp.minimum(best_t, pl_t)
-    return _gather_hit(scene, o, d, t, sph.index, use_plane, pl_j, pl_n)
+    return _gather_hit(scene, o, d, t, sph.index, use_plane, pl_j, pl_n, prev=prev)
 
 
-def _gather_hit(scene: SceneArrays, o: Vec3, d: Vec3, best_t, sph_idx, use_plane, pl_j, pl_n) -> Hit:
+def _gather_hit(scene: SceneArrays, o: Vec3, d: Vec3, best_t, sph_idx, use_plane, pl_j, pl_n, prev=None) -> Hit:
     """Assemble the Hit record from a winning (sphere index | plane) pair by
     gathering the material table once — shared by the BVH and scan paths."""
     ns = scene.num_spheres
@@ -427,7 +479,7 @@ def _gather_hit(scene: SceneArrays, o: Vec3, d: Vec3, best_t, sph_idx, use_plane
 
     # Triangles (scene extension; compiled out of triangle-free scenes).
     best_t, shape_idx, kind, alb, exp, use_tri, tri_n = _fold_triangles(
-        scene, o, d, best_t, shape_idx, kind, alb, exp
+        scene, o, d, best_t, shape_idx, kind, alb, exp, prev=prev
     )
 
     mask = jnp.isfinite(best_t)
@@ -461,10 +513,12 @@ def _gather_hit(scene: SceneArrays, o: Vec3, d: Vec3, best_t, sph_idx, use_plane
     )
 
 
-def _plane_sweep(scene: SceneArrays, o: Vec3, d: Vec3):
-    """Linear plane sweep shared by the accelerated paths."""
+def _plane_sweep(scene: SceneArrays, o: Vec3, d: Vec3, prev=None):
+    """Linear plane sweep shared by the accelerated paths. ``prev`` excludes
+    the plane the ray originates on (see :func:`intersect`)."""
     batch = o.x.shape
     zeros = jnp.zeros(batch, jnp.float32)
+    ns = scene.num_spheres
     pl_t = jnp.full(batch, _INF, jnp.float32)
     pl_j = jnp.zeros(batch, jnp.int32)
     pl_n = Vec3(zeros, zeros, zeros)
@@ -475,6 +529,8 @@ def _plane_sweep(scene: SceneArrays, o: Vec3, d: Vec3):
         den = d.x * nx + d.y * ny + d.z * nz
         t = num / den
         cond = (t > _T_MIN) & (t < pl_t)
+        if prev is not None:
+            cond &= prev != np.int32(ns + j)
         pl_t = jnp.where(cond, t, pl_t)
         pl_j = jnp.where(cond, np.int32(j), pl_j)
         pl_n = vwhere(cond, Vec3(nx, ny, nz), pl_n)
@@ -680,13 +736,14 @@ def tri_carry_init(like):
     return (zf + _INF, zi, zi, zf, Vec3(zf, zf, zf), Vec3(zf, zf, zf))
 
 
-def fold_tri_block(o, d, carry, v0, e1, e2, n3, kind, exp, alb, idx):
+def fold_tri_block(o, d, carry, v0, e1, e2, n3, kind, exp, alb, idx, prev_tri=None):
     """Fold one TRI_SCAN_BLOCK of triangles into the winner carry.
     ``v0``/``e1``/``e2``/``n3``/``alb`` are (TRI_SCAN_BLOCK, 3); the rest
     (TRI_SCAN_BLOCK,). ``idx`` is each entry's ORIGINAL triangle index (the
     layout is Morton-sorted), and equal-t ties keep the lowest original
     index — the same discipline as :func:`triangle_nearest`'s blocked form,
-    so winners are identical in any visit order."""
+    so winners are identical in any visit order. ``prev_tri`` (triangle-
+    relative index) excludes the triangle the ray originates on."""
     bt, bi, b_kind, b_exp, b_alb, b_n = carry
     for k in range(TRI_SCAN_BLOCK):
         t, valid = triangle_t(
@@ -696,6 +753,8 @@ def fold_tri_block(o, d, carry, v0, e1, e2, n3, kind, exp, alb, idx):
             (e2[k, 0], e2[k, 1], e2[k, 2]),
         )
         cond = valid & ((t < bt) | ((t == bt) & (idx[k] < bi)))
+        if prev_tri is not None:
+            cond &= prev_tri != idx[k]
         bt = jnp.where(cond, t, bt)
         bi = jnp.where(cond, idx[k], bi)
         b_kind = jnp.where(cond, kind[k], b_kind)
@@ -705,10 +764,12 @@ def fold_tri_block(o, d, carry, v0, e1, e2, n3, kind, exp, alb, idx):
     return (bt, bi, b_kind, b_exp, b_alb, b_n)
 
 
-def fold_tri_occluded_block(o, d, occ, v0, e1, e2, t_max, exclude_idx, idx, base):
+def fold_tri_occluded_block(o, d, occ, v0, e1, e2, t_max, exclude_idx, idx, base, origin_idx=None):
     """Fold one TRI_SCAN_BLOCK of triangles into an any-hit occlusion mask.
     ``base`` is the scene's triangle shape-index base (Ns+Np), so
-    self-exclusion matches :func:`triangle_occluded` semantics."""
+    self-exclusion matches :func:`triangle_occluded` semantics;
+    ``origin_idx`` additionally excludes the shadow ray's own origin
+    triangle (flat shapes cannot self-occlude)."""
     for k in range(TRI_SCAN_BLOCK):
         t, valid = triangle_t(
             o, d,
@@ -716,7 +777,10 @@ def fold_tri_occluded_block(o, d, occ, v0, e1, e2, t_max, exclude_idx, idx, base
             (e1[k, 0], e1[k, 1], e1[k, 2]),
             (e2[k, 0], e2[k, 1], e2[k, 2]),
         )
-        occ = occ | (valid & (t < t_max) & (exclude_idx != base + idx[k]))
+        blocks = valid & (t < t_max) & (exclude_idx != base + idx[k])
+        if origin_idx is not None:
+            blocks &= origin_idx != base + idx[k]
+        occ = occ | blocks
     return occ
 
 
@@ -743,7 +807,7 @@ def merge_tri_hit(hit: Hit, o: Vec3, d: Vec3, tri_winner, base) -> Hit:
     )
 
 
-def intersect_scan(scene: SceneArrays, o: Vec3, d: Vec3, layout: "ScanLayout" = None) -> Hit:
+def intersect_scan(scene: SceneArrays, o: Vec3, d: Vec3, layout: "ScanLayout" = None, prev=None) -> Hit:
     """Nearest hit via a ``lax.scan`` over sphere blocks — the scaling form
     of the unrolled sweep.
 
@@ -772,7 +836,10 @@ def intersect_scan(scene: SceneArrays, o: Vec3, d: Vec3, layout: "ScanLayout" = 
         best_t, best_i = carry
         ctr, rad, idx = blk
         for k in range(SCAN_BLOCK):
-            t, valid = sphere_t(o, d, a, inv_a, ctr[k, 0], ctr[k, 1], ctr[k, 2], rad[k])
+            t, valid = sphere_t(
+                o, d, a, inv_a, ctr[k, 0], ctr[k, 1], ctr[k, 2], rad[k],
+                on_self=None if prev is None else prev == idx[k],
+            )
             # Equal-t ties keep the lowest ORIGINAL index (common.rs:16-24)
             # regardless of the Morton visit order.
             cond = valid & ((t < best_t) | ((t == best_t) & (idx[k] < best_i)))
@@ -788,13 +855,13 @@ def intersect_scan(scene: SceneArrays, o: Vec3, d: Vec3, layout: "ScanLayout" = 
     i0 = zf.astype(jnp.int32)
     (best_t, best_i), _ = jax.lax.scan(step, (t0, i0), (L.ctr, L.rad, L.idx))
 
-    pl_t, pl_j, pl_n = _plane_sweep(scene, o, d)
+    pl_t, pl_j, pl_n = _plane_sweep(scene, o, d, prev=prev)
     use_plane = pl_t < best_t
     t = jnp.minimum(best_t, pl_t)
-    return _gather_hit(scene, o, d, t, best_i, use_plane, pl_j, pl_n)
+    return _gather_hit(scene, o, d, t, best_i, use_plane, pl_j, pl_n, prev=prev)
 
 
-def intersect_scan_carry(scene: SceneArrays, o: Vec3, d: Vec3, layout: "ScanLayout" = None) -> Hit:
+def intersect_scan_carry(scene: SceneArrays, o: Vec3, d: Vec3, layout: "ScanLayout" = None, prev=None) -> Hit:
     """Blocked-scan sweep that carries the winner's material record through
     the loop instead of gathering at the end — the in-kernel (Pallas) form.
 
@@ -812,13 +879,16 @@ def intersect_scan_carry(scene: SceneArrays, o: Vec3, d: Vec3, layout: "ScanLayo
     def step(carry, blk):
         ctr, rad, inv_r_b, kind, exp, alb, idx = blk
         return (
-            fold_sphere_block(o, d, a, inv_a, carry, ctr, rad, inv_r_b, kind, exp, alb, idx),
+            fold_sphere_block(
+                o, d, a, inv_a, carry, ctr, rad, inv_r_b, kind, exp, alb, idx,
+                prev=prev,
+            ),
             None,
         )
 
     xs = (L.ctr, L.rad, L.inv_r, L.kind, L.exp, L.alb, L.idx)
     carry, _ = jax.lax.scan(step, scan_carry_init(o.x), xs)
-    return finish_scan_carry(scene, o, d, carry)
+    return finish_scan_carry(scene, o, d, carry, prev=prev)
 
 
 def scan_carry_init(like):
@@ -839,17 +909,21 @@ def scan_carry_init(like):
     )
 
 
-def fold_sphere_block(o, d, a, inv_a, carry, ctr, rad, inv_r_b, kind, exp, alb, idx):
+def fold_sphere_block(o, d, a, inv_a, carry, ctr, rad, inv_r_b, kind, exp, alb, idx, prev=None):
     """Fold one SCAN_BLOCK of spheres into the winner carry. ``ctr``/``alb``
     are (SCAN_BLOCK, 3); the rest (SCAN_BLOCK,). ``idx`` carries each
     entry's ORIGINAL sphere index (the block layout may be spatially
     sorted; see :func:`scan_layout`). Shared by the XLA scan and the
     in-kernel (Pallas) fori_loop, which feed it from array xs and ref
-    slices respectively."""
+    slices respectively. ``prev`` is the self-exclusion lane (the sphere
+    the ray originates on gets its exact ``c = 0``; see :func:`sphere_t`)."""
     best_t, best_i, b_kind, b_exp, b_alb, b_ctr, b_inv_r = carry
     for k in range(SCAN_BLOCK):
         cx, cy, cz = ctr[k, 0], ctr[k, 1], ctr[k, 2]
-        t, valid = sphere_t(o, d, a, inv_a, cx, cy, cz, rad[k])
+        t, valid = sphere_t(
+            o, d, a, inv_a, cx, cy, cz, rad[k],
+            on_self=None if prev is None else prev == idx[k],
+        )
         # Strict improvement, with the documented equal-t tie rule (lowest
         # ORIGINAL shape index wins, common.rs:16-24) restored under the
         # Morton-sorted visit order.
@@ -864,7 +938,7 @@ def fold_sphere_block(o, d, a, inv_a, carry, ctr, rad, inv_r_b, kind, exp, alb, 
     return (best_t, best_i, b_kind, b_exp, b_alb, b_ctr, b_inv_r)
 
 
-def finish_scan_carry(scene: SceneArrays, o: Vec3, d: Vec3, carry) -> Hit:
+def finish_scan_carry(scene: SceneArrays, o: Vec3, d: Vec3, carry, prev=None) -> Hit:
     """Fold the (unrolled) planes into a sphere winner carry and build the
     Hit. Plane material fields come from the table by *static* plane index,
     masked in the same way the unrolled sweep does."""
@@ -872,7 +946,7 @@ def finish_scan_carry(scene: SceneArrays, o: Vec3, d: Vec3, carry) -> Hit:
     best_t, best_i, b_kind, b_exp, b_alb, b_ctr, b_inv_r = carry
     alb_tab = scene.mat_color * scene.mat_param[:, None]
 
-    pl_t, pl_j, pl_n = _plane_sweep(scene, o, d)
+    pl_t, pl_j, pl_n = _plane_sweep(scene, o, d, prev=prev)
     use_plane = pl_t < best_t
     t = jnp.minimum(best_t, pl_t)
     shape_idx = jnp.where(use_plane, np.int32(ns) + pl_j, best_i)
@@ -887,7 +961,7 @@ def finish_scan_carry(scene: SceneArrays, o: Vec3, d: Vec3, carry) -> Hit:
     # Triangles (scene extension; compiled out of triangle-free scenes —
     # including every in-kernel reconstruction, whose scenes carry none).
     t, shape_idx, b_kind, b_alb, b_exp, use_tri, tri_n = _fold_triangles(
-        scene, o, d, t, shape_idx, b_kind, b_alb, b_exp
+        scene, o, d, t, shape_idx, b_kind, b_alb, b_exp, prev=prev
     )
 
     mask = jnp.isfinite(t)
@@ -909,8 +983,10 @@ def finish_scan_carry(scene: SceneArrays, o: Vec3, d: Vec3, carry) -> Hit:
     )
 
 
-def _plane_occluded(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx, occ):
-    """Fold the (unrolled) planes into an any-hit occlusion mask."""
+def _plane_occluded(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx, occ, origin_idx=None):
+    """Fold the (unrolled) planes into an any-hit occlusion mask.
+    ``origin_idx`` excludes the shadow ray's own origin plane (flat shapes
+    cannot self-occlude; see :func:`triangle_occluded`)."""
     ns = scene.num_spheres
     for j in range(scene.num_planes):
         px, py, pz = (scene.plane_point[j, k] for k in range(3))
@@ -918,25 +994,32 @@ def _plane_occluded(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx, oc
         num = (px - o.x) * nx + (py - o.y) * ny + (pz - o.z) * nz
         den = d.x * nx + d.y * ny + d.z * nz
         t = num / den
-        occ = occ | (
-            (t > _T_MIN) & (t < t_max) & (exclude_idx != np.int32(ns + j))
-        )
+        blocks = (t > _T_MIN) & (t < t_max) & (exclude_idx != np.int32(ns + j))
+        if origin_idx is not None:
+            blocks &= origin_idx != np.int32(ns + j)
+        occ = occ | blocks
     return occ
 
 
-def fold_occluded_block(o, d, a, inv_a, occ, ctr, rad, t_max, exclude_idx, idx):
+def fold_occluded_block(o, d, a, inv_a, occ, ctr, rad, t_max, exclude_idx, idx, origin_idx=None):
     """Fold one SCAN_BLOCK of spheres into an any-hit occlusion mask —
     the shadow-ray sibling of :func:`fold_sphere_block`, with no winner
     fold at all (an OR replaces ~11 selects per sphere). ``idx`` carries
     each entry's ORIGINAL sphere index (the block layout may be spatially
-    sorted; see :func:`scan_layout`)."""
+    sorted; see :func:`scan_layout`). ``origin_idx`` marks the sphere the
+    shadow ray originates on, whose quadratic gets its exact ``c = 0``
+    (see :func:`sphere_t` ``on_self``) — genuine self-occlusion through
+    the interior still registers."""
     for k in range(SCAN_BLOCK):
-        t, valid = sphere_t(o, d, a, inv_a, ctr[k, 0], ctr[k, 1], ctr[k, 2], rad[k])
+        t, valid = sphere_t(
+            o, d, a, inv_a, ctr[k, 0], ctr[k, 1], ctr[k, 2], rad[k],
+            on_self=None if origin_idx is None else origin_idx == idx[k],
+        )
         occ = occ | (valid & (t < t_max) & (exclude_idx != idx[k]))
     return occ
 
 
-def occluded_sweep(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx):
+def occluded_sweep(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx, origin_idx=None):
     """Any-hit shadow test: does any shape OTHER than ``exclude_idx``
     intersect (o, d) at T_MIN < t < t_max?
 
@@ -946,19 +1029,28 @@ def occluded_sweep(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx):
     about a third less work per sphere than :func:`intersect`. Semantics
     match the nearest-hit formulation ``hit.shape == exclude_idx`` exactly
     up to floating-point ties (measure-zero for Monte Carlo estimates).
+
+    ``origin_idx`` (optional i32 lanes) is the shape the shadow ray
+    ORIGINATES on: its sphere quadratic is evaluated with the exact
+    ``c = 0`` and its plane/triangle is excluded outright — the shadow-ray
+    twin of the nearest-hit ``prev`` self-exclusion (grazing light angles
+    otherwise read f32 self-hits as shadow acne).
     """
     a, inv_a = quad_a(scene, d)
     # Derived from o so the mask inherits o's varying axes under shard_map.
     occ = (o.x * 0.0) > 0.0
     for i in range(scene.num_spheres):
         cx, cy, cz = (scene.sphere_center[i, k] for k in range(3))
-        t, valid = sphere_t(o, d, a, inv_a, cx, cy, cz, scene.sphere_radius[i])
+        t, valid = sphere_t(
+            o, d, a, inv_a, cx, cy, cz, scene.sphere_radius[i],
+            on_self=None if origin_idx is None else origin_idx == np.int32(i),
+        )
         occ = occ | (valid & (t < t_max) & (exclude_idx != np.int32(i)))
-    occ = _plane_occluded(scene, o, d, t_max, exclude_idx, occ)
-    return triangle_occluded(scene, o, d, t_max, exclude_idx, occ)
+    occ = _plane_occluded(scene, o, d, t_max, exclude_idx, occ, origin_idx=origin_idx)
+    return triangle_occluded(scene, o, d, t_max, exclude_idx, occ, origin_idx=origin_idx)
 
 
-def occluded_scan(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx, layout: "ScanLayout" = None):
+def occluded_scan(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx, layout: "ScanLayout" = None, origin_idx=None):
     """Any-hit shadow test via a ``lax.scan`` over sphere blocks — the
     scaling form of :func:`occluded_sweep` (compile time constant in scene
     size; carry is a single bool mask)."""
@@ -970,14 +1062,17 @@ def occluded_scan(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx, layo
     def step(occ, blk):
         ctr, rad, idx = blk
         return (
-            fold_occluded_block(o, d, a, inv_a, occ, ctr, rad, t_max, exclude_idx, idx),
+            fold_occluded_block(
+                o, d, a, inv_a, occ, ctr, rad, t_max, exclude_idx, idx,
+                origin_idx=origin_idx,
+            ),
             None,
         )
 
     occ0 = (o.x * 0.0) > 0.0
     occ, _ = jax.lax.scan(step, occ0, (L.ctr, L.rad, L.idx))
-    occ = _plane_occluded(scene, o, d, t_max, exclude_idx, occ)
-    return triangle_occluded(scene, o, d, t_max, exclude_idx, occ)
+    occ = _plane_occluded(scene, o, d, t_max, exclude_idx, occ, origin_idx=origin_idx)
+    return triangle_occluded(scene, o, d, t_max, exclude_idx, occ, origin_idx=origin_idx)
 
 
 @dataclass(frozen=True)
@@ -996,18 +1091,18 @@ class Intersector:
     layout: Optional[ScanLayout] = None  # prebuilt scan blocks (scan modes)
     mode: str = "sweep"  # 'sweep' | 'scan' | 'scan_carry' | 'bvh'
 
-    def __call__(self, scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
+    def __call__(self, scene: SceneArrays, o: Vec3, d: Vec3, prev=None) -> Hit:
         if self.mode == "bvh":
-            return intersect_bvh(scene, self.bvh, o, d)
+            return intersect_bvh(scene, self.bvh, o, d, prev=prev)
         if self.mode == "scan":
-            return intersect_scan(scene, o, d, layout=self.layout)
+            return intersect_scan(scene, o, d, layout=self.layout, prev=prev)
         if self.mode == "scan_carry":
-            return intersect_scan_carry(scene, o, d, layout=self.layout)
+            return intersect_scan_carry(scene, o, d, layout=self.layout, prev=prev)
         if self.mode != "sweep":
             raise ValueError(f"unknown intersection mode {self.mode!r}")
-        return intersect(scene, o, d)
+        return intersect(scene, o, d, prev=prev)
 
-    def occluded(self, scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx):
+    def occluded(self, scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx, origin_idx=None):
         """Any-hit shadow test (see :func:`occluded_sweep`): True where some
         shape other than ``exclude_idx`` blocks (o, d) before ``t_max``.
         The BVH mode derives it from the full traversal (shadow rays are a
@@ -1018,11 +1113,14 @@ class Intersector:
         with a larger t_max the derived form misses occluders behind the
         excluded shape. Callers (ops/shade.py) always pass the light's t."""
         if self.mode in ("scan", "scan_carry"):
-            return occluded_scan(scene, o, d, t_max, exclude_idx, layout=self.layout)
+            return occluded_scan(
+                scene, o, d, t_max, exclude_idx, layout=self.layout,
+                origin_idx=origin_idx,
+            )
         if self.mode == "bvh":
-            h = intersect_bvh(scene, self.bvh, o, d)
+            h = intersect_bvh(scene, self.bvh, o, d, prev=origin_idx)
             return h.mask & (h.t < t_max) & (h.shape != exclude_idx)
-        return occluded_sweep(scene, o, d, t_max, exclude_idx)
+        return occluded_sweep(scene, o, d, t_max, exclude_idx, origin_idx=origin_idx)
 
 
 

@@ -240,6 +240,9 @@ def _kernel(
         alive=s_idx < s_limit,
         suppress=jnp.zeros(shape, jnp.bool_) if nee else None,
         prev_pdf=jnp.zeros(shape, jnp.float32) if nee else None,
+        # −1: camera rays originate on no shape (exact self-re-hit
+        # exclusion; see ops/intersect.sphere_t ``on_self``).
+        prev_shape=jnp.full(shape, -1, jnp.int32),
     )
 
     lights_v = None
@@ -444,7 +447,7 @@ def _kernel(
                 Vec3(g(4), g(5), g(6)), Vec3(g(7), g(8), g(9)), g(10),
             )
 
-        def intersect_fn(scene_v, o, d):
+        def intersect_fn(scene_v, o, d, prev=None):
             a, inv_a = quad_a(scene_v, d)
 
             if scan_skip:
@@ -458,7 +461,7 @@ def _kernel(
                     _write_carry(
                         fold_sphere_block(
                             o, d, a, inv_a, _read_carry(),
-                            ctr, rad, inv_r_b, kind, exp, alb, idx,
+                            ctr, rad, inv_r_b, kind, exp, alb, idx, prev=prev,
                         )
                     )
 
@@ -470,20 +473,21 @@ def _kernel(
                     o, (1.0 / d.x, 1.0 / d.y, 1.0 / d.z),
                     lambda: need, lambda: scan_ref[0, :, :], False, _fold,
                 )
-                return finish_scan_carry(scene_v, o, d, _read_carry())
+                return finish_scan_carry(scene_v, o, d, _read_carry(), prev=prev)
 
             def body(i, carry):
                 ctr, rad, inv_r_b, kind, exp, alb, idx = _slice_block(
                     i * SCAN_BLOCK
                 )
                 return fold_sphere_block(
-                    o, d, a, inv_a, carry, ctr, rad, inv_r_b, kind, exp, alb, idx
+                    o, d, a, inv_a, carry, ctr, rad, inv_r_b, kind, exp, alb,
+                    idx, prev=prev,
                 )
 
             carry = jax.lax.fori_loop(0, n_blocks, body, scan_carry_init(o.x))
-            return finish_scan_carry(scene_v, o, d, carry)
+            return finish_scan_carry(scene_v, o, d, carry, prev=prev)
 
-        def _occluded_fn(scene_v, o, d, t_max, exclude_idx):
+        def _occluded_fn(scene_v, o, d, t_max, exclude_idx, origin_idx=None):
             # Any-hit shadow test, in-kernel blocked form (see
             # intersect.occluded_scan — same fold, ref slices for blocks).
             # The AABB skip additionally drops blocks no not-yet-occluded
@@ -510,6 +514,7 @@ def _kernel(
                     occ2 = fold_occluded_block(
                         o, d, a, inv_a, scan_ref[11, :, :] > 0.0,
                         ctr, rad, t_max, exclude_idx, idx,
+                        origin_idx=origin_idx,
                     )
                     scan_ref[11, :, :] = occ2.astype(jnp.float32)
 
@@ -520,16 +525,21 @@ def _kernel(
                     _need, lambda: t_max, True, _fold,
                 )
                 occ = scan_ref[11, :, :] > 0.0
-                return _plane_occluded(scene_v, o, d, t_max, exclude_idx, occ)
+                return _plane_occluded(
+                    scene_v, o, d, t_max, exclude_idx, occ, origin_idx=origin_idx
+                )
 
             def body(i, occ):
                 ctr, rad, idx = occ_slice(i * SCAN_BLOCK)
                 return fold_occluded_block(
-                    o, d, a, inv_a, occ, ctr, rad, t_max, exclude_idx, idx
+                    o, d, a, inv_a, occ, ctr, rad, t_max, exclude_idx, idx,
+                    origin_idx=origin_idx,
                 )
 
             occ = jax.lax.fori_loop(0, n_blocks, body, (o.x * 0.0) > 0.0)
-            return _plane_occluded(scene_v, o, d, t_max, exclude_idx, occ)
+            return _plane_occluded(
+                scene_v, o, d, t_max, exclude_idx, occ, origin_idx=origin_idx
+            )
 
         intersect_fn.occluded = _occluded_fn
 
@@ -591,8 +601,10 @@ def _kernel(
         # Bound Intersector method (sweep) or the scan closure's attribute.
         base_occluded = intersect_fn.occluded
 
-        def _tri_isect(scene_v, o, d):
-            hit = base_isect(scene_v, o, d)
+        def _tri_isect(scene_v, o, d, prev=None):
+            hit = base_isect(scene_v, o, d, prev=prev)
+            # Triangle-relative self-exclusion index (negative = none).
+            prev_tri = None if prev is None else prev - tri_base
             if tri_skip:
                 need = _alive_mask()
                 # Seed the carry's winner t with the sphere/plane winner:
@@ -609,7 +621,8 @@ def _kernel(
                 def _fold(i):
                     _tri_write(
                         fold_tri_block(
-                            o, d, _tri_read(), *_tri_slice(i * TRI_SCAN_BLOCK)
+                            o, d, _tri_read(), *_tri_slice(i * TRI_SCAN_BLOCK),
+                            prev_tri=prev_tri,
                         )
                     )
 
@@ -623,20 +636,26 @@ def _kernel(
                 return merge_tri_hit(hit, o, d, _tri_read(), tri_base)
 
             def body(i, carry):
-                return fold_tri_block(o, d, carry, *_tri_slice(i * TRI_SCAN_BLOCK))
+                return fold_tri_block(
+                    o, d, carry, *_tri_slice(i * TRI_SCAN_BLOCK),
+                    prev_tri=prev_tri,
+                )
 
             carry = jax.lax.fori_loop(0, n_tri_blocks, body, tri_carry_init(o.x))
             return merge_tri_hit(hit, o, d, carry, tri_base)
 
-        def _tri_occluded(scene_v, o, d, t_max, exclude_idx):
-            occ0 = base_occluded(scene_v, o, d, t_max, exclude_idx)
+        def _tri_occluded(scene_v, o, d, t_max, exclude_idx, origin_idx=None):
+            occ0 = base_occluded(
+                scene_v, o, d, t_max, exclude_idx, origin_idx=origin_idx
+            )
             if not tri_skip:
                 def body(i, occ):
                     v0, e1, e2, n3, kind, exp, alb, idx = _tri_slice(
                         i * TRI_SCAN_BLOCK
                     )
                     return fold_tri_occluded_block(
-                        o, d, occ, v0, e1, e2, t_max, exclude_idx, idx, tri_base
+                        o, d, occ, v0, e1, e2, t_max, exclude_idx, idx, tri_base,
+                        origin_idx=origin_idx,
                     )
 
                 return jax.lax.fori_loop(0, n_tri_blocks, body, occ0)
@@ -658,6 +677,7 @@ def _kernel(
                 occ2 = fold_tri_occluded_block(
                     o, d, tri_ref[10, :, :] > 0.0, v0, e1, e2,
                     t_max, exclude_idx, idx, tri_base,
+                    origin_idx=origin_idx,
                 )
                 tri_ref[10, :, :] = occ2.astype(jnp.float32)
 
@@ -694,6 +714,7 @@ def _kernel(
             return bounce(
                 scene, st, bx, by, isect=intersect_fn,
                 lights=lights_v, nee_samples=nee_samples, physical=physical,
+                first_bounce=depth == 1,
             )
 
         return step
@@ -724,13 +745,18 @@ def _kernel(
                 st.alive.astype(jnp.float32),
                 st.suppress.astype(jnp.float32) if nee else None,
                 st.prev_pdf,
+                # Shape indices are far below 2^24: exact as f32 (int
+                # vectors crossing a Mosaic value-yielding cond are riskier
+                # than f32; bools can't at all).
+                st.prev_shape.astype(jnp.float32),
             )
 
         def _unpack(t):
-            o_, d_, tp, rd, al, sp, pp = t
+            o_, d_, tp, rd, al, sp, pp, ps = t
             return PathState(
                 o=o_, d=d_, throughput=tp, radiance=rd, alive=al > 0.0,
                 suppress=(sp > 0.0) if nee else None, prev_pdf=pp,
+                prev_shape=ps.astype(jnp.int32),
             )
 
         carried = _pack(make_step(1)(state))
@@ -766,6 +792,9 @@ def _kernel(
             ]
             if nee:
                 vals += [st.suppress.astype(jnp.float32), st.prev_pdf]
+            # prev_shape rides as f32 (exact below 2^24; no i32 VMEM row
+            # needed) in the LAST row so the alive row stays at index 12.
+            vals.append(st.prev_shape.astype(jnp.float32))
             for k, v in enumerate(vals):
                 st_ref[k, :, :] = jnp.broadcast_to(v, (s_blk, LANES))
 
@@ -779,6 +808,7 @@ def _kernel(
                 alive=g(12) > 0.0,
                 suppress=(g(13) > 0.0) if nee else None,
                 prev_pdf=g(14) if nee else None,
+                prev_shape=g(15 if nee else 13).astype(jnp.int32),
             )
 
         # The initial state is written first so the scan skip's alive mask
@@ -1116,7 +1146,7 @@ def render_block_pallas(
         light_kinds=light_kinds, scan_super=scan_super,
         tri_super=bool(tri and tri_super),
     )
-    n_state = 15 if nee else 13
+    n_state = 16 if nee else 14  # +1: the prev_shape self-exclusion row
     scratch = (
         [pltpu.VMEM((n_state, s_blk, LANES), jnp.float32)]
         if early_exit is True

@@ -49,6 +49,14 @@ class PathState(NamedTuple):
     # diffuse vertex sampled this ray's direction (0 when the previous
     # vertex had no light-sampling alternative — camera, specular, glossy).
     prev_pdf: jnp.ndarray = None  # (B,) f32 | None
+    # Shape index the ray ORIGINATES on (previous bounce's hit; −1 for
+    # camera rays). Drives the exact self-re-hit exclusion in the
+    # intersection paths (ops/intersect.sphere_t ``on_self``): without it,
+    # f32 noise in the sphere quadratic's c manufactures false
+    # self-intersections above T_MIN at grazing exit angles — bounces the
+    # reference's f64 would never take. None = legacy behavior (no
+    # exclusion), kept for the precision tests that measure the bug.
+    prev_shape: jnp.ndarray = None  # (B,) i32 | None
 
 
 def bounce(
@@ -60,6 +68,7 @@ def bounce(
     lights=None,
     nee_samples=None,
     physical: bool = False,
+    first_bounce: bool = False,
 ) -> PathState:
     """Advance every alive path by one bounce.
 
@@ -76,8 +85,15 @@ def bounce(
     """
     do_intersect = isect if isect is not None else intersect
 
-    o, d, tput, rad, alive, suppress, prev_pdf = state
-    hit = do_intersect(scene, o, d)
+    o, d, tput, rad, alive, suppress, prev_pdf, prev_shape = state
+    if prev_shape is None or first_bounce:
+        # first_bounce: camera rays originate on no shape (prev ≡ −1), so
+        # the per-shape exclusion compares are statically dropped — the
+        # exclusion costs nothing at depth 1 (prev_shape still updates
+        # below so depth 2 sees this bounce's hits).
+        hit = do_intersect(scene, o, d)
+    else:
+        hit = do_intersect(scene, o, d, prev=prev_shape)
 
     miss = alive & ~hit.mask
     is_emissive = hit.kind == MaterialKind.EMISSIVE
@@ -196,6 +212,11 @@ def bounce(
         # directly) and everything else is a cheap OR fold — about a third
         # less work per sphere than the nearest-hit sweep. Fallback
         # (plain intersect callables): nearest hit must BE the light.
+        # The shadow ray originates ON hit.shape: give it the same exact
+        # self-exclusion as the bounce ray (grazing light angles otherwise
+        # read f32 self-hits as shadow acne). None when the caller opted
+        # out of exclusion (legacy PathState without prev_shape).
+        sh_origin = None if prev_shape is None else hit.shape
         occluded = getattr(do_intersect, "occluded", None)
         if occluded is not None:
             if scene.unit_d:
@@ -229,9 +250,14 @@ def bounce(
                 )
             else:
                 t_sh = t_l
-            lit = l_valid & ~occluded(scene, hit.point, ldir, t_sh, lidx)
+            lit = l_valid & ~occluded(
+                scene, hit.point, ldir, t_sh, lidx, origin_idx=sh_origin
+            )
         else:
-            shadow = do_intersect(scene, hit.point, ldir)
+            if sh_origin is None:
+                shadow = do_intersect(scene, hit.point, ldir)
+            else:
+                shadow = do_intersect(scene, hit.point, ldir, prev=sh_origin)
             lit = shadow.mask & (shadow.shape == lidx)
         lit &= (cos_s > 0.0) & nee_active
         if physical:
@@ -296,8 +322,11 @@ def bounce(
     tput = vwhere(scatter, new_tput, tput)
     o = vwhere(scatter, hit.point, o)
     d = vwhere(scatter, wi, d)
+    if prev_shape is not None:
+        # Dead lanes keep their stale index (they never intersect again).
+        prev_shape = jnp.where(scatter, hit.shape, prev_shape)
 
     return PathState(
         o=o, d=d, throughput=tput, radiance=rad, alive=scatter, suppress=suppress,
-        prev_pdf=prev_pdf,
+        prev_pdf=prev_pdf, prev_shape=prev_shape,
     )

@@ -27,10 +27,20 @@ Design constraints, in order:
    it is vectorized NumPy (a small frame renders in seconds) but makes no
    other performance concession.
 
-Scope: the BSDF path walk — sweep intersection over spheres + planes +
-triangles, all four materials, reference and ``physical`` transport. NEE/MIS estimators are
-out of scope (audit the plain walk; the NEE estimator's own unbiasedness is
-pinned against it by tests/test_nee.py).
+Scope: the full estimator surface — sweep intersection over spheres +
+planes + triangles, all four materials, reference and ``physical``
+transport, AND (``nee=True``) the next-event-estimation arms: power-
+proportional light picking, cone sampling with partial-cone horizon
+clipping, triangle uniform-area sampling, the shadow-ray any-hit sweep,
+and the MIS balance-heuristic weights of physical mode — mirroring
+ops/nee.py + the NEE/MIS arms of ops/shade.py function for function.
+Two deliberate estimator-definition carry-overs (NOT precision
+concessions): the clipped-arc half-angle uses the same Abramowitz–Stegun
+polynomial arccos + 1e-4 pad as production (the sampled arc and its
+density must match SAMPLE FOR SAMPLE; the polynomial is part of the
+estimator's definition, and any ≥-true-arc choice is unbiased), and
+triangle-light shadow rays stop at t·(1−1e-4) (the multi-triangle
+shared-edge exclusion rule, ops/shade.py).
 
 Usage::
 
@@ -47,7 +57,14 @@ from typing import NamedTuple
 
 import numpy as np
 
-from .constants import SALT_AA, SALT_BOUNCE, SALT_LENS, T_MIN
+from .constants import (
+    SALT_AA,
+    SALT_BOUNCE,
+    SALT_LENS,
+    SALT_NEE,
+    SALT_NEEPICK,
+    T_MIN,
+)
 from .scene import MaterialKind, PlaneData, SceneData, SphereData, TriangleData
 
 __all__ = ["oracle_render", "precision_audit"]
@@ -416,7 +433,7 @@ def _intersect(sc: _Scene, o: _V, d: _V):
         tk = np.where(is_tri, best_i - ns - npl, 0)
         n_tr = _V(*(sc.tnm[tk, k] for k in range(3)))
         normal = _vwhere(is_tri, n_tr, normal)
-    return mask, best_i, point, normal
+    return mask, best_i, point, normal, best_t
 
 
 def _sample_directions(kind, exponent, normal, d, sx, sy, physical):
@@ -445,6 +462,268 @@ def _sample_directions(kind, exponent, normal, d, sx, sy, physical):
     return _vwhere(is_perfect, r, wi)
 
 
+# ---------------------------------------------------------------------------
+# NEE / MIS in f64 — mirroring ops/nee.py + the NEE arms of ops/shade.py.
+# ---------------------------------------------------------------------------
+
+
+class _Lights(NamedTuple):
+    """f64 light set (ops/nee.py LightArrays analog)."""
+
+    kinds: tuple  # 'sphere' | 'tri' per light
+    ctr: np.ndarray  # (L, 3) sphere center / tri centroid
+    rad: np.ndarray  # (L,)
+    emit: np.ndarray  # (L, 3) color × power
+    sidx: np.ndarray  # (L,) int32 full shape index
+    pick: np.ndarray  # (L,)
+    cdf: np.ndarray  # (L,) exclusive prefix sum
+    tv0: np.ndarray  # (L, 3)
+    te1: np.ndarray  # (L, 3)
+    te2: np.ndarray  # (L, 3)
+    tn: np.ndarray  # (L, 3)
+    area: np.ndarray  # (L,)
+
+
+def _extract_lights(sd: SceneData):
+    """ops/nee.py extract_lights in f64 (None when the scene has no NEE
+    lights). Selection weights use the same luminance · area/(4π) rule;
+    pick-boundary flips vs the f32 table are measure-zero per sample."""
+    recs = []
+    n_sph = sum(isinstance(s, SphereData) for s in sd.shapes)
+    n_pln = sum(isinstance(s, PlaneData) for s in sd.shapes)
+    si = ti = 0
+    z3 = np.zeros(3)
+    for s in sd.shapes:
+        if isinstance(s, SphereData):
+            m = s.material
+            if m.kind == MaterialKind.EMISSIVE and not s.invert:
+                emit = np.asarray(m.color, np.float64) * m.param
+                recs.append(("sphere", np.asarray(s.center, np.float64),
+                             float(s.radius), emit, si, z3, z3, z3, z3, 0.0,
+                             float(s.radius) ** 2))
+            si += 1
+        elif isinstance(s, TriangleData):
+            m = s.material
+            if m.kind == MaterialKind.EMISSIVE:
+                emit = np.asarray(m.color, np.float64) * m.param
+                v0 = np.asarray(s.v0, np.float64)
+                e1 = np.asarray(s.v1, np.float64) - v0
+                e2 = np.asarray(s.v2, np.float64) - v0
+                cr = np.cross(e1, e2)
+                area = 0.5 * float(np.linalg.norm(cr))
+                nrm = cr / max(np.linalg.norm(cr), 1e-300)
+                ctr = v0 + (e1 + e2) / 3.0
+                recs.append(("tri", ctr, 0.0, emit, n_sph + n_pln + ti,
+                             v0, e1, e2, nrm, area, area / (4.0 * np.pi)))
+            ti += 1
+    if not recs:
+        return None
+    n = len(recs)
+    emits = np.asarray([r[3] for r in recs], np.float64).reshape(n, 3)
+    lum = 0.2126 * emits[:, 0] + 0.7152 * emits[:, 1] + 0.0722 * emits[:, 2]
+    w = lum * np.asarray([r[10] for r in recs], np.float64)
+    total = float(w.sum())
+    pick = w / total if total > 0 else np.full(n, 1.0 / n)
+    cdf = np.concatenate([[0.0], np.cumsum(pick)[:-1]])
+    arr = lambda k: np.asarray([r[k] for r in recs], np.float64).reshape(
+        (n, 3) if np.ndim(recs[0][k]) else (n,)
+    )
+    return _Lights(
+        kinds=tuple(r[0] for r in recs),
+        ctr=arr(1), rad=arr(2), emit=emits,
+        sidx=np.asarray([r[4] for r in recs], np.int32),
+        pick=pick, cdf=cdf,
+        tv0=arr(5), te1=arr(6), te2=arr(7), tn=arr(8), area=arr(9),
+    )
+
+
+def _acos_conservative(x):
+    """ops/nee.py _acos_conservative in f64: the SAME Abramowitz–Stegun
+    4.4.45 polynomial + 1e-4 pad, NOT true arccos — the sampled arc and its
+    density are defined by this formula (any ⊇-true-arc choice is unbiased),
+    so the oracle must draw from the identical arc, sample for sample."""
+    ax = np.abs(x)
+    poly = 1.5707288 + ax * (-0.2121144 + ax * (0.0742610 + ax * -0.0187293))
+    a = np.sqrt(np.maximum(1.0 - ax, 0.0)) * poly
+    a = np.where(x < 0.0, np.pi - a, a)
+    return np.clip(a + 1e-4, 0.0, np.pi)
+
+
+def _sample_light_dirs(lt: _Lights, p: _V, ux, uy, upick, normal=None):
+    """ops/nee.py sample_light_dirs in f64. Returns (d, weight_scalar·emit,
+    sidx, pdf, center, radius, tri_t, tri_mask)."""
+    shape = np.broadcast_shapes(ux.shape, p.x.shape)
+    li = np.zeros(shape, np.int32)
+    for k in range(1, len(lt.kinds)):
+        li = np.where(upick >= lt.cdf[k], np.int32(k), li)
+    cx, cy, cz = (lt.ctr[li, c] for c in range(3))
+    rad = lt.rad[li]
+    pk = lt.pick[li]
+    sidx = lt.sidx[li]
+    emit = _V(*(lt.emit[li, c] for c in range(3)))
+
+    dc = _V(cx - p.x, cy - p.y, cz - p.z)
+    dist2 = _dot(dc, dc)
+    dist = np.sqrt(dist2)
+    inside = dist2 <= rad * rad
+    sin2_max = np.clip(rad * rad / np.maximum(dist2, 1e-12), 0.0, 1.0)
+    cos_max = np.sqrt(np.maximum(1.0 - sin2_max, 0.0))
+    w = dc * (1.0 / np.maximum(dist, 1e-12))
+    cos_a = 1.0 - ux * (1.0 - cos_max)
+    sin_a = np.sqrt(np.maximum(1.0 - cos_a * cos_a, 0.0))
+    sh = np.zeros(shape)
+    u, v = _frame_about(w, _V(sh + _EM[0], sh + _EM[1], sh + _EM[2]))
+
+    arc_frac = None
+    if normal is None:
+        phi = 2.0 * np.pi * uy
+        cp, sp = np.cos(phi), np.sin(phi)
+    else:
+        # Partial-cone horizon clipping (reference mode), the exact
+        # construction of ops/nee.py:331-364.
+        n_u = _dot(normal, u)
+        n_v = _dot(normal, v)
+        n_w = _dot(normal, w)
+        rho = np.sqrt(n_u * n_u + n_v * n_v)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = -(cos_a * n_w) / np.maximum(sin_a * rho, 1e-12)
+        phi_lim = _acos_conservative(np.clip(c, -1.0, 1.0))
+        arc_frac = phi_lim * (1.0 / np.pi)
+        safe = rho > 1e-6
+        inv_rho = 1.0 / np.maximum(rho, 1e-12)
+        c0 = np.where(safe, n_u * inv_rho, 1.0)
+        s0 = np.where(safe, n_v * inv_rho, 0.0)
+        delta = (2.0 * uy - 1.0) * phi_lim
+        cd, sd_ = np.cos(delta), np.sin(delta)
+        cp = c0 * cd - s0 * sd_
+        sp = s0 * cd + c0 * sd_
+
+    d = _V(
+        sin_a * (cp * u.x + sp * v.x) + cos_a * w.x,
+        sin_a * (cp * u.y + sp * v.y) + cos_a * w.y,
+        sin_a * (cp * u.z + sp * v.z) + cos_a * w.z,
+    )
+    wgt = 2.0 * np.pi * (1.0 - cos_max) / np.maximum(pk, 1e-12)
+    wgt = np.where(inside, 0.0, wgt)
+    if arc_frac is not None:
+        wgt = wgt * arc_frac
+
+    tri_t = tri_mask = None
+    cos_l = None
+    if "tri" in lt.kinds:
+        is_tri = np.asarray([k == "tri" for k in lt.kinds])
+        tri_mask = is_tri[li]
+        uu = np.broadcast_to(ux, shape).copy()
+        vv = np.broadcast_to(uy, shape).copy()
+        flip = uu + vv > 1.0
+        uu = np.where(flip, 1.0 - uu, uu)
+        vv = np.where(flip, 1.0 - vv, vv)
+        q = _V(*(lt.tv0[li, c] + uu * lt.te1[li, c] + vv * lt.te2[li, c]
+                 for c in range(3)))
+        dv = q - p
+        r2 = np.maximum(_dot(dv, dv), 1e-12)
+        r = np.sqrt(r2)
+        td = dv * (1.0 / r)
+        tn = _V(*(lt.tn[li, c] for c in range(3)))
+        cos_l = -_dot(tn, td)
+        area = lt.area[li]
+        wgt_tri = area * np.maximum(cos_l, 0.0) / (np.maximum(pk, 1e-12) * r2)
+        d = _vwhere(tri_mask, td, d)
+        wgt = np.where(tri_mask, wgt_tri, wgt)
+        tri_t = r
+    pdf = 1.0 / np.maximum(wgt, 1e-20)
+    if cos_l is not None:
+        pdf_tri = np.where(
+            cos_l > 0.0,
+            pk * r2 / np.maximum(lt.area[li] * cos_l, 1e-12),
+            0.0,
+        )
+        pdf = np.where(tri_mask, pdf_tri, pdf)
+    return d, emit, wgt, sidx, pdf, _V(cx, cy, cz), rad, tri_t, tri_mask
+
+
+def _light_emission(lt: _Lights, shape_idx):
+    m = np.zeros(shape_idx.shape, bool)
+    for k in range(len(lt.kinds)):
+        m |= shape_idx == lt.sidx[k]
+    return m
+
+
+def _nee_pdf_toward(lt: _Lights, p: _V, shape_idx, d: _V, t):
+    """ops/nee.py nee_pdf_toward in f64 (the MIS reverse density)."""
+    pdf = np.zeros(shape_idx.shape)
+    for k, kind in enumerate(lt.kinds):
+        sel = shape_idx == lt.sidx[k]
+        if kind == "tri":
+            cos_l = -(lt.tn[k, 0] * d.x + lt.tn[k, 1] * d.y + lt.tn[k, 2] * d.z)
+            pdf_k = lt.pick[k] * t * t / np.maximum(lt.area[k] * cos_l, 1e-12)
+            pdf_k = np.where(cos_l > 0.0, pdf_k, 0.0)
+        else:
+            dc = _V(lt.ctr[k, 0] - p.x, lt.ctr[k, 1] - p.y, lt.ctr[k, 2] - p.z)
+            dist2 = _dot(dc, dc)
+            r = lt.rad[k]
+            sin2 = np.clip(r * r / np.maximum(dist2, 1e-12), 0.0, 1.0)
+            cos_max = np.sqrt(np.maximum(1.0 - sin2, 0.0))
+            omega = 2.0 * np.pi * (1.0 - cos_max)
+            pdf_k = lt.pick[k] / np.maximum(omega, 1e-20)
+            pdf_k = np.where(dist2 <= r * r, 0.0, pdf_k)
+        pdf = np.where(sel, pdf_k, pdf)
+    return pdf
+
+
+def _occluded(sc: _Scene, o: _V, d: _V, t_max, exclude_idx):
+    """Any-hit shadow sweep in f64 (ops/intersect.occluded_sweep analog).
+
+    No origin-shape exclusion needed: the production path's exact
+    ``on_self``/origin exclusion exists to kill f32 noise roots above
+    T_MIN; in f64 the same noise sits at ~1e-16 « T_MIN, so the plain
+    sweep is semantically identical."""
+    a = _dot(d, d)
+    occ = np.zeros(o.x.shape, bool)
+    for i in range(sc.ctr.shape[0]):
+        oc = _V(o.x - sc.ctr[i, 0], o.y - sc.ctr[i, 1], o.z - sc.ctr[i, 2])
+        b_half = _dot(oc, d)
+        c = _dot(oc, oc) - sc.rad[i] * sc.rad[i]
+        disc = b_half * b_half - a * c
+        e = np.sqrt(np.maximum(disc, 0.0))
+        t_near = (-b_half - e) / a
+        t = np.where(t_near > T_MIN, t_near, (-b_half + e) / a)
+        valid = (disc >= 0.0) & (t > T_MIN)
+        occ |= valid & (t < t_max) & (exclude_idx != np.int32(i))
+    ns = sc.ctr.shape[0]
+    for j in range(sc.ppt.shape[0]):
+        nx, ny, nz = sc.pnm[j]
+        num = ((sc.ppt[j, 0] - o.x) * nx + (sc.ppt[j, 1] - o.y) * ny
+               + (sc.ppt[j, 2] - o.z) * nz)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = num / (d.x * nx + d.y * ny + d.z * nz)
+        occ |= (t > T_MIN) & (t < t_max) & (exclude_idx != np.int32(ns + j))
+    npl = sc.ppt.shape[0]
+    for k in range(sc.tv0.shape[0]):
+        e1, e2, v0 = sc.te1[k], sc.te2[k], sc.tv0[k]
+        px = d.y * e2[2] - d.z * e2[1]
+        py = d.z * e2[0] - d.x * e2[2]
+        pz = d.x * e2[1] - d.y * e2[0]
+        det = e1[0] * px + e1[1] * py + e1[2] * pz
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = 1.0 / det
+            sx, sy, sz = o.x - v0[0], o.y - v0[1], o.z - v0[2]
+            u = (sx * px + sy * py + sz * pz) * inv
+            qx = sy * e1[2] - sz * e1[1]
+            qy = sz * e1[0] - sx * e1[2]
+            qz = sx * e1[1] - sy * e1[0]
+            v = (d.x * qx + d.y * qy + d.z * qz) * inv
+            t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv
+        valid = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > T_MIN)
+        occ |= valid & (t < t_max) & (exclude_idx != np.int32(ns + npl + k))
+    return occ
+
+
+# Triangle-light shadow shrink: the exact f32 constant production folds
+# (ops/shade.py — multi-triangle shared-edge exclusion), as f64.
+_TRI_SHRINK = float(np.float32(1.0 - 1e-4))
+
+
 def oracle_render(
     sd: SceneData,
     sample_root: int,
@@ -452,13 +731,24 @@ def oracle_render(
     seed: int = 0,
     physical: bool = False,
     rows_per_band: int = 8,
+    nee: bool = False,
+    raw_samples: bool = False,
 ) -> np.ndarray:
     """Render the scene's frame entirely in float64. Returns (H, W, 3) f64.
 
-    Semantics mirror Renderer(backend='xla', accel='sweep', nee=False)
-    sample for sample; see the module docstring for the mirrored pieces.
+    Semantics mirror Renderer(backend='xla', accel='sweep') sample for
+    sample — including, with ``nee=True``, the NEE estimator (reference
+    transport: hard split + partial-cone horizon clipping) and, with
+    ``nee=True, physical=True``, the MIS balance-heuristic estimator.
+    See the module docstring for the mirrored pieces.
+
+    ``raw_samples=True`` returns the PER-SAMPLE radiance (spp, H, W, 3)
+    before averaging and tone mapping — the probe the borderline-flip
+    certification uses (tests/test_bvh.py): cross-backend parity flips
+    are per-sample whole-path events, only visible pre-average.
     """
     sc = _compile(sd)
+    lights = _extract_lights(sd) if nee else None
     W = sd.output_settings.image_width
     H = sd.output_settings.image_height
     root = int(sample_root)
@@ -475,8 +765,12 @@ def oracle_render(
     vp_factor = cdta.focal_distance / cdta.view_plane_distance
     adj_ps = sd.output_settings.pixel_size / cdta.zoom_factor
 
-    out = np.zeros((H, W, 3), np.float64)
     spp = root * root
+    out = (
+        np.zeros((spp, H, W, 3), np.float64)
+        if raw_samples
+        else np.zeros((H, W, 3), np.float64)
+    )
     s_idx = np.arange(spp, dtype=np.uint32)[:, None, None]
     for row0 in range(0, H, rows_per_band):
         n_rows = min(rows_per_band, H - row0)
@@ -515,15 +809,17 @@ def oracle_render(
         rady = np.zeros(shape)
         radz = np.zeros(shape)
         alive = np.ones(shape, bool)
+        suppress = np.zeros(shape, bool)
+        prev_pdf = np.zeros(shape)
 
         for depth in range(1, max_depth + 1):
-            # One bounce (ops/shade.py:53-277, NEE arms elided).
+            # One bounce (ops/shade.py:54-303, NEE/MIS arms included).
             pat = _hash_combine(pixel_base, SALT_BOUNCE, np.uint32(depth))
             sx, sy = _bounce_point(s_idx, root, pat, depth)
             sx = np.broadcast_to(sx, shape)
             sy = np.broadcast_to(sy, shape)
 
-            mask, sidx, point, normal = _intersect(sc, o, d)
+            mask, sidx, point, normal, hit_t = _intersect(sc, o, d)
             if sc.kind.size:
                 kind = sc.kind[sidx]
                 albv = _V(*(sc.alb[sidx, k] for k in range(3)))
@@ -538,43 +834,138 @@ def oracle_render(
             emit = alive & mask & is_em & (_dot(normal, d) < 0.0)
             scatter = alive & mask & ~is_em
 
+            emit_w = None
+            if lights is not None and physical:
+                # MIS emission weight (ops/shade.py:93-106): a BSDF hit of
+                # an NEE light carries pdf_b/(pdf_b + pdf_nee).
+                is_l = _light_emission(lights, sidx)
+                pdf_nee_prev = _nee_pdf_toward(
+                    lights, o, sidx, d, np.where(mask, hit_t, 0.0)
+                )
+                w_b = prev_pdf / np.maximum(prev_pdf + pdf_nee_prev, 1e-20)
+                emit_w = np.where(
+                    emit, np.where(is_l & (prev_pdf > 0.0), w_b, 1.0), 0.0
+                )
+            elif lights is not None:
+                # Reference transport: hard split (ops/shade.py:107-112).
+                emit &= ~(suppress & _light_emission(lights, sidx))
+
             radx += np.where(miss, tput.x * sc.bg[0], 0.0)
             rady += np.where(miss, tput.y * sc.bg[1], 0.0)
             radz += np.where(miss, tput.z * sc.bg[2], 0.0)
-            radx += np.where(emit, tput.x * albv.x, 0.0)
-            rady += np.where(emit, tput.y * albv.y, 0.0)
-            radz += np.where(emit, tput.z * albv.z, 0.0)
+            if emit_w is not None:
+                radx += tput.x * albv.x * emit_w
+                rady += tput.y * albv.y * emit_w
+                radz += tput.z * albv.z * emit_w
+            else:
+                radx += np.where(emit, tput.x * albv.x, 0.0)
+                rady += np.where(emit, tput.y * albv.y, 0.0)
+                radz += np.where(emit, tput.z * albv.z, 0.0)
+
+            diffuse = scatter & (kind == MaterialKind.MATTE)
+            glossy = scatter & (kind == MaterialKind.GLOSSY)
+            mirror = _reflect(d, normal)
+
+            def glossy_lobe(wd):
+                """(phong, pdf, dup) of the glossy strategy at wd
+                (ops/shade.py:143-159)."""
+                rw = np.maximum(_dot(mirror, wd), 0.0)
+                phong = rw ** expo
+                flipped = _V(
+                    2.0 * rw * mirror.x - wd.x,
+                    2.0 * rw * mirror.y - wd.y,
+                    2.0 * rw * mirror.z - wd.z,
+                )
+                dup = np.where(_dot(normal, flipped) < 0.0, 1.0, 0.0)
+                pdf = (expo + 1.0) * (0.5 / np.pi) * phong * (1.0 + dup)
+                return phong, pdf, dup
+
+            if lights is not None:
+                # NEE direct-light arm (ops/shade.py:161-262).
+                npat = _hash_combine(pixel_base, SALT_NEE, np.uint32(depth))
+                nux, nuy = _bounce_point(s_idx, root, npat, depth)
+                nux = np.broadcast_to(nux, shape)
+                nuy = np.broadcast_to(nuy, shape)
+                upick = np.broadcast_to(_randfloat(
+                    s_idx, _hash_combine(pixel_base, SALT_NEEPICK, np.uint32(depth))
+                ), shape)
+                ldir, lemit, lwgt, lidx, pdf_nee, lctr, lrad, tri_t, tri_mask = (
+                    _sample_light_dirs(
+                        lights, point, nux, nuy, upick,
+                        normal=None if physical else normal,
+                    )
+                )
+                cos_s = _dot(normal, ldir)
+                # Light's own ray-t (f64 quadratic; tri rows carry theirs).
+                a_sh = _dot(ldir, ldir)
+                oc = point - lctr
+                b_half = _dot(oc, ldir)
+                cq = _dot(oc, oc) - lrad * lrad
+                disc = b_half * b_half - a_sh * cq
+                e_ = np.sqrt(np.maximum(disc, 0.0))
+                t_near = (-b_half - e_) / a_sh
+                t_l = np.where(t_near > T_MIN, t_near, (-b_half + e_) / a_sh)
+                l_valid = (disc >= 0.0) & (t_l > T_MIN)
+                if tri_mask is not None:
+                    t_l = np.where(tri_mask, tri_t, t_l)
+                    l_valid = np.where(tri_mask, tri_t > T_MIN, l_valid)
+                    t_sh = np.where(tri_mask, t_l * _TRI_SHRINK, t_l)
+                else:
+                    t_sh = t_l
+                lit = l_valid & ~_occluded(sc, point, ldir, t_sh, lidx)
+                nee_active = depth < max_depth
+                lit &= (cos_s > 0.0) & nee_active
+                if physical:
+                    phong_l, pdf_g, _ = glossy_lobe(ldir)
+                    pdf_b = np.where(glossy, pdf_g, cos_s * (1.0 / np.pi))
+                    f_fac = np.where(
+                        glossy, (expo + 2.0) * (0.5 / np.pi) * phong_l,
+                        1.0 / np.pi,
+                    )
+                    w_nee = pdf_nee / np.maximum(pdf_nee + pdf_b, 1e-20)
+                    fac = f_fac * cos_s * w_nee
+                    lit &= diffuse | glossy
+                else:
+                    fac = 1.0 / (2.0 * np.pi)
+                    lit &= diffuse
+                cw = lwgt * fac
+                radx += np.where(lit, tput.x * albv.x * lemit.x * cw, 0.0)
+                rady += np.where(lit, tput.y * albv.y * lemit.y * cw, 0.0)
+                radz += np.where(lit, tput.z * albv.z * lemit.z * cw, 0.0)
+                suppress = diffuse
 
             wi = _sample_directions(kind, expo, normal, d, sx, sy, physical)
             new_tput = tput.had(albv)
             if physical:
-                # Physical glossy walk weight (ops/shade.py:243-254).
-                mirror = _reflect(d, normal)
-                rw = np.maximum(_dot(mirror, wi), 0.0)
-                flipped = _V(
-                    2.0 * rw * mirror.x - wi.x,
-                    2.0 * rw * mirror.y - wi.y,
-                    2.0 * rw * mirror.z - wi.z,
-                )
-                dup = np.where(_dot(normal, flipped) < 0.0, 1.0, 0.0)
+                # Physical glossy walk weight (ops/shade.py:270-290).
+                phong_i, pdf_gi, dup_i = glossy_lobe(wi)
                 cos_i = np.maximum(_dot(normal, wi), 0.0)
                 fac = np.where(
                     kind == MaterialKind.GLOSSY,
-                    (expo + 2.0) / (expo + 1.0) * cos_i / (1.0 + dup),
+                    (expo + 2.0) / (expo + 1.0) * cos_i / (1.0 + dup_i),
                     1.0,
                 )
                 new_tput = new_tput * fac
+                if lights is not None:
+                    prev_pdf = np.where(
+                        glossy, pdf_gi,
+                        np.where(diffuse, cos_i * (1.0 / np.pi), 0.0),
+                    )
             tput = _vwhere(scatter, new_tput, tput)
             o = _vwhere(scatter, point, o)
             d = _vwhere(scatter, wi, d)
             alive = scatter
 
+        if raw_samples:
+            out[:, row0 : row0 + n_rows] = np.stack([radx, rady, radz], axis=-1)
+            continue
         acc = np.stack(
             [radx.sum(axis=0), rady.sum(axis=0), radz.sum(axis=0)], axis=-1
         )
         img = acc / spp
         m = img.max(axis=-1, keepdims=True)
-        out[row0 : row0 + n_rows] = img * np.where(m > 1.0, 1.0 / m, 1.0)
+        with np.errstate(divide="ignore"):  # m == 0 rows select the 1.0 arm
+            out[row0 : row0 + n_rows] = img * np.where(m > 1.0, 1.0 / m, 1.0)
     return out
 
 
@@ -585,6 +976,7 @@ def precision_audit(
     seed: int = 0,
     physical: bool = False,
     renderer=None,
+    nee: bool = False,
 ) -> dict:
     """Render with the f32 production path AND the f64 oracle; report stats.
 
@@ -593,16 +985,18 @@ def precision_audit(
     visible at low spp) samples whose branch decisions flip near f32
     comparison boundaries. Healthy scenes sit at MC-noise level; a genuine
     f32 precision cliff shows up as a large, spatially-structured error.
+    ``nee=True`` audits the NEE estimator (and with ``physical`` the MIS
+    weights) instead of the plain walk.
     """
     from .render import Renderer
 
     r = renderer or Renderer(
         sd, sample_root, max_depth, seed=seed, physical=physical, accel="sweep",
-        backend="xla",
+        backend="xla", nee=nee,
     )
     img32 = r.render_image().astype(np.float64)
     img64 = oracle_render(
-        sd, sample_root, max_depth, seed=seed, physical=physical
+        sd, sample_root, max_depth, seed=seed, physical=physical, nee=nee
     )
     diff = np.abs(img32 - img64)
     return {

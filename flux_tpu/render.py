@@ -136,6 +136,10 @@ def render_block_impl(
         alive=alive0,
         suppress=None if lights is None else jnp.zeros(shape, jnp.bool_),
         prev_pdf=None if lights is None else jnp.zeros(shape, jnp.float32),
+        # Camera rays originate on no shape (−1 matches nothing); each
+        # bounce then carries its hit shape forward for the exact
+        # self-re-hit exclusion (ops/intersect.sphere_t ``on_self``).
+        prev_shape=jnp.full(shape, -1, jnp.int32),
     )
     if pvary_axes:
         # Under shard_map the scan carry must be device-varying from the
@@ -175,6 +179,7 @@ def render_block_impl(
         return bounce(
             scene, st, bx, by, isect=isect,
             lights=lights, nee_samples=nee_samples, physical=physical,
+            first_bounce=depth == 1,
         )
 
     # Static Python loop (the lax.scan this replaces was unroll=True anyway,

@@ -179,6 +179,49 @@ def test_oracle_physical_mode():
     assert rep["mean_abs_diff"] < 5e-3, rep
 
 
+def test_oracle_nee_reference_transport():
+    """The NEE estimator (power-proportional pick, partial-cone clipping,
+    shadow sweep, hard-split suppression) audits clean against its f64
+    mirror on bit-identical streams — covering precision of the direct-
+    light arm itself, not just its statistical unbiasedness."""
+    from tests.test_nee import light_scene
+
+    rep = _audit(light_scene(), root=4, depth=3, seed=0, nee=True)
+    assert rep["mean_abs_diff"] < 1e-4, rep
+    assert abs(rep["f32_mean"] - rep["f64_mean"]) < 1e-4, rep
+
+
+def test_oracle_nee_mis_mixed_lights():
+    """MIS (physical+NEE) on a MIXED sphere+triangle light set: the
+    balance-heuristic weights, triangle area-sampling densities (incl. the
+    pdf_tri back-face zeroing), the tri-light shadow shrink, and the
+    sphere-lane exact shadow t_l are all exercised on bit-identical
+    streams. Any weight asymmetry between the forward and reverse density
+    forms shows up as estimator drift here, not as f32 rounding."""
+    from tests.test_nee import tri_light_scene
+
+    sd = tri_light_scene(sphere_light=True)
+    for physical in (False, True):
+        rep = _audit(sd, root=4, depth=3, seed=0, nee=True, physical=physical)
+        # Borderline-branch flips (occlusion edges) can cost a whole
+        # sample on isolated pixels; the mean pins the precision story.
+        assert rep["mean_abs_diff"] < 5e-4, (physical, rep)
+        assert abs(rep["f32_mean"] - rep["f64_mean"]) < 2e-4, (physical, rep)
+
+
+def test_oracle_nee_unbiased_in_f64():
+    """f64-vs-f64: the oracle's own NEE estimator converges to the oracle's
+    plain BSDF walk — a pure-f64 unbiasedness pin with no f32 noise floor,
+    closing the loop the f32-only statistical tests can't."""
+    from tests.test_nee import light_scene
+
+    sd = light_scene(w=16, h=12)
+    a = oracle_render(sd, 8, 3, seed=0, nee=True)
+    b = oracle_render(sd, 40, 3, seed=1, nee=False)
+    assert np.abs(a - b).mean() < 0.02
+    assert abs(float(a.mean()) - float(b.mean())) < 0.01
+
+
 def test_oracle_triangles():
     """Triangle geometry audits clean: the f64 Möller–Trumbore sweep mirrors
     ops/intersect.triangle_t (double-sided, NaN-rejection, plane-style

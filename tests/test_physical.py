@@ -92,26 +92,74 @@ def test_furnace_convex_sphere_exact():
     either estimator (a stray π, a lost 1/2π, a flipped pdf) shifts this
     value deterministically — no MC tolerance to hide behind.
 
-    Physical mode is exact on EVERY pixel. Reference mode draws uniform
-    (not cosine-weighted) hemisphere directions, so ~1 sample in 10³ is
-    grazing enough (cosθ ≲ 1e-3) that the f32 sphere quadratic's
-    catastrophic cancellation (c = |o−C|²−R² with the origin ON the
-    sphere) manufactures a false self-re-hit above T_MIN — a bounded,
-    understood f32-vs-f64 boundary (the reference's f64 puts the same
-    error at ~1e-8 « T_MIN): the affected sample loses at most its full
-    ρ·L contribution. Assert exactness off the rare grazing lanes and the
-    per-pixel bound on them; test_furnace_oracle_exact_in_f64 pins that
-    the SAME sample stream in f64 has no deviation at all."""
+    BOTH transports are exact on EVERY pixel: the prev-shape self-hit
+    exclusion (ops/intersect.sphere_t ``on_self``) removes the grazing-ray
+    f32 false re-hits that reference mode's uniform hemisphere draws used
+    to take at ~1 sample in 10³ (cosθ ≲ 1e-3, where the f32 noise in
+    c = |o−C|²−R² crosses T_MIN; the reference's f64 noise never does,
+    shapes.rs:176-211). test_furnace_legacy_no_exclusion_shows_f32_rehits
+    keeps the un-excluded path's failure measurable; the oracle test pins
+    the f64 ground truth on the identical sample stream."""
     rho, L = 0.6, 1.0
-    spp = 16
     sd = _furnace_scene(rho, L)
 
     img = _img(sd, root=4, physical=True, depth=2)
     np.testing.assert_allclose(img, rho * L, rtol=0, atol=5e-5)
 
     ref = _img(sd, root=4, physical=False, depth=2)
-    err = np.abs(ref - rho * L)
-    assert (err > 5e-5).mean() < 0.01, "more than rare grazing deviations"
+    np.testing.assert_allclose(ref, rho * L, rtol=0, atol=5e-5)
+
+
+def test_furnace_legacy_no_exclusion_shows_f32_rehits():
+    """Opting OUT of the prev-shape exclusion (a PathState without
+    prev_shape) reproduces the f32 grazing self-re-hit: rare deviating
+    pixels, each bounded by one lost sample. Pins that the exclusion is
+    doing real work — if this ever passes exactly, either the ulp
+    behavior changed or the legacy path quietly gained the fix."""
+    import jax.numpy as jnp
+
+    from flux_tpu.camera import camera_arrays, primary_rays
+    from flux_tpu.ops.shade import PathState, bounce
+    from flux_tpu.samplers.hash import hash_combine
+    from flux_tpu.samplers.patterns import bounce_point, cmj_point
+    from flux_tpu.samplers.warps import to_poisson_disc
+    from flux_tpu.scene import compile_scene
+    from flux_tpu.constants import SALT_AA, SALT_BOUNCE, SALT_LENS
+    from flux_tpu.vec import Vec3
+
+    rho, L = 0.6, 1.0
+    spp = 16
+    sd = _furnace_scene(rho, L)
+    sc = compile_scene(sd)
+    cam = camera_arrays(sd.camera_settings, sd.camera_data,
+                        sd.output_settings.pixel_size)
+    w, h, root = 16, 12, 4
+    s_idx = jnp.arange(spp, dtype=jnp.uint32)[:, None, None]
+    row = jnp.arange(h, dtype=jnp.int32)[None, :, None]
+    col = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+    pixel_base = hash_combine(jnp.uint32(0), row, col)
+    ax, ay = cmj_point(s_idx, root, hash_combine(pixel_base, SALT_AA))
+    ux, uy = cmj_point(s_idx, root, hash_combine(pixel_base, SALT_LENS))
+    lx, ly = to_poisson_disc(ux, uy)
+    o, d = primary_rays(cam, row, col, w, h, ax, ay, lx, ly)
+    shape = (spp, h, w)
+    full = lambda v: Vec3(*(jnp.broadcast_to(c, shape) for c in (v.x, v.y, v.z)))
+    ones = jnp.ones(shape, jnp.float32)
+    zeros = jnp.zeros(shape, jnp.float32)
+    st = PathState(
+        o=full(o), d=full(d), throughput=Vec3(ones, ones, ones),
+        radiance=Vec3(zeros, zeros, zeros), alive=jnp.ones(shape, bool),
+    )  # prev_shape=None: the legacy, exclusion-free walk
+    for depth in (1, 2):
+        pat = hash_combine(pixel_base, SALT_BOUNCE, np.uint32(depth))
+        bx, by = bounce_point(s_idx, root, pat, depth)
+        st = bounce(sc, st, bx, by)
+    img = np.asarray(
+        jnp.stack([st.radiance.x, st.radiance.y, st.radiance.z], -1).mean(0)
+    )
+    err = np.abs(img - rho * L)
+    assert err.max() > 5e-5, "legacy path no longer shows the f32 re-hit"
+    assert (err > 5e-5).mean() < 0.02, "more than rare grazing deviations"
     assert err.max() <= rho * L / spp + 5e-5, "deviation exceeds one sample"
 
 
