@@ -352,16 +352,30 @@ def _compile(sd: SceneData) -> _Scene:
     )
 
 
-def _intersect(sc: _Scene, o: _V, d: _V):
+def _intersect(sc: _Scene, o: _V, d: _V, margin=None, alive=None):
     """Nearest-hit sweep in f64 — the reference's full quadratic with the
     hoisted a = d·d (shapes.rs:176-211; ops/intersect.py:61-101 keeps this
     form for non-unit scenes, drops a ≡ 1 for unit ones — an identity this
-    oracle's full form audits)."""
+    oracle's full form audits).
+
+    ``margin`` (optional, mutated in place, per-lane f64): running minimum
+    RELATIVE margin of every path-determining branch this sweep evaluates
+    — the borderline-flip certification signal (see oracle_render
+    ``branch_margins``). Tracked branches: nearest-competition |t − best|
+    between viable hits, the tangency boundary |disc|, and the T_MIN
+    acceptance boundary — each normalized by its operand scale, and only
+    where the losing branch would actually change the path (``alive``
+    lanes, viable-t windows)."""
     B = o.x.shape
     a = _dot(d, d)
     inv_a = 1.0 / a
     best_t = np.full(B, np.inf)
     best_i = np.zeros(B, np.int32)
+
+    def note(m):
+        if margin is not None:
+            np.minimum(margin, np.where(alive, m, np.inf), out=margin)
+
     for i in range(sc.ctr.shape[0]):
         oc = _V(o.x - sc.ctr[i, 0], o.y - sc.ctr[i, 1], o.z - sc.ctr[i, 2])
         b_half = _dot(oc, d)
@@ -370,7 +384,30 @@ def _intersect(sc: _Scene, o: _V, d: _V):
         e = np.sqrt(np.maximum(disc, 0.0))
         t_near = (-b_half - e) * inv_a
         t = np.where(t_near > T_MIN, t_near, (-b_half + e) * inv_a)
-        cond = (disc >= 0.0) & (t > T_MIN) & (t < best_t)
+        valid = (disc >= 0.0) & (t > T_MIN)
+        cond = valid & (t < best_t)
+        if margin is not None:
+            with np.errstate(invalid="ignore", divide="ignore"):
+                # Tangency: |disc| vs its operand scale, counted only where
+                # a grazing hit would actually take the lead (t at the
+                # tangency point inside the viable window).
+                t_tan = -b_half * inv_a
+                disc_rel = np.abs(disc) / np.maximum(
+                    np.maximum(b_half * b_half, np.abs(a * c)), 1e-300
+                )
+                note(np.where((t_tan > T_MIN) & (t_tan < best_t),
+                              disc_rel, np.inf))
+                # Nearest competition: |t − best| where this sphere is a
+                # genuine competitor (valid), vs the winning distance scale.
+                note(np.where(valid & np.isfinite(best_t),
+                              np.abs(t - best_t) / np.maximum(best_t, T_MIN),
+                              np.inf))
+                # T_MIN acceptance of either root (near-root fallback and
+                # final validity both hinge on it).
+                for tr in (t_near, t):
+                    note(np.where(disc >= 0.0,
+                                  np.abs(tr - T_MIN) / max(T_MIN, 1e-300),
+                                  np.inf))
         best_t = np.where(cond, t, best_t)
         best_i = np.where(cond, np.int32(i), best_i)
     ns = sc.ctr.shape[0]
@@ -383,6 +420,12 @@ def _intersect(sc: _Scene, o: _V, d: _V):
         )
         with np.errstate(divide="ignore", invalid="ignore"):
             t = num / (d.x * nx + d.y * ny + d.z * nz)
+            if margin is not None:
+                note(np.where(np.isfinite(t) & (t > T_MIN) & np.isfinite(best_t),
+                              np.abs(t - best_t) / np.maximum(best_t, T_MIN),
+                              np.inf))
+                note(np.where(np.isfinite(t),
+                              np.abs(t - T_MIN) / T_MIN, np.inf))
         cond = (t > T_MIN) & (t < best_t)
         best_t = np.where(cond, t, best_t)
         best_i = np.where(cond, np.int32(ns + j), best_i)
@@ -408,6 +451,16 @@ def _intersect(sc: _Scene, o: _V, d: _V):
             v = (d.x * qx + d.y * qy + d.z * qz) * inv
             t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv
         valid = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > T_MIN)
+        if margin is not None:
+            with np.errstate(invalid="ignore"):
+                viable = np.isfinite(t) & (t > T_MIN) & (t < best_t)
+                # Barycentric edge margins (u, v, 1−u−v vs 0) decide the
+                # hit; count them where the triangle would take the lead.
+                for edge in (u, v, 1.0 - u - v):
+                    note(np.where(viable, np.abs(edge), np.inf))
+                note(np.where(valid & np.isfinite(best_t),
+                              np.abs(t - best_t) / np.maximum(best_t, T_MIN),
+                              np.inf))
         cond = valid & (t < best_t)
         best_t = np.where(cond, t, best_t)
         best_i = np.where(cond, np.int32(ns + npl + k), best_i)
@@ -436,8 +489,11 @@ def _intersect(sc: _Scene, o: _V, d: _V):
     return mask, best_i, point, normal, best_t
 
 
-def _sample_directions(kind, exponent, normal, d, sx, sy, physical):
-    """ops/brdf.py sample_directions in f64."""
+def _sample_directions(kind, exponent, normal, d, sx, sy, physical,
+                       margin=None, margin_mask=None):
+    """ops/brdf.py sample_directions in f64. ``margin``/``margin_mask``
+    record the glossy below-horizon flip's branch margin |n·(tang+axial)|
+    (a path-determining discontinuity in wi) for the certification."""
     r = _reflect(d, normal)
     is_glossy = kind == MaterialKind.GLOSSY
     is_perfect = kind == MaterialKind.REFLECTIVE
@@ -457,7 +513,14 @@ def _sample_directions(kind, exponent, normal, d, sx, sy, physical):
         hx * f1.x + hy * f2.x, hx * f1.y + hy * f2.y, hx * f1.z + hy * f2.z
     )
     axial = w * hz
-    below = (_dot(normal, tang + axial) < 0.0) & is_glossy
+    horizon = _dot(normal, tang + axial)
+    below = (horizon < 0.0) & is_glossy
+    if margin is not None:
+        np.minimum(
+            margin,
+            np.where(margin_mask & is_glossy, np.abs(horizon), np.inf),
+            out=margin,
+        )
     wi = tang * np.where(below, -1.0, 1.0) + axial
     return _vwhere(is_perfect, r, wi)
 
@@ -733,6 +796,7 @@ def oracle_render(
     rows_per_band: int = 8,
     nee: bool = False,
     raw_samples: bool = False,
+    branch_margins: bool = False,
 ) -> np.ndarray:
     """Render the scene's frame entirely in float64. Returns (H, W, 3) f64.
 
@@ -746,6 +810,17 @@ def oracle_render(
     before averaging and tone mapping — the probe the borderline-flip
     certification uses (tests/test_bvh.py): cross-backend parity flips
     are per-sample whole-path events, only visible pre-average.
+
+    ``branch_margins=True`` (implies per-sample output) returns
+    ``(radiance, margins)`` where ``margins`` is (spp, H, W) f64: each
+    sample's MINIMUM relative branch margin over every path-determining
+    comparison its f64 walk evaluated (nearest-hit competition, tangency,
+    T_MIN acceptance, barycentric edges, emissive facing, glossy
+    below-horizon flip). A sample whose two f32 backends disagree is a
+    GENUINE borderline flip iff its f64 margin is at f32-rounding scale;
+    an estimator bug produces disagreements at margins orders of
+    magnitude above that — the discriminator behind the principled
+    cross-backend parity gate.
     """
     sc = _compile(sd)
     lights = _extract_lights(sd) if nee else None
@@ -766,11 +841,13 @@ def oracle_render(
     adj_ps = sd.output_settings.pixel_size / cdta.zoom_factor
 
     spp = root * root
+    raw_samples = raw_samples or branch_margins
     out = (
         np.zeros((spp, H, W, 3), np.float64)
         if raw_samples
         else np.zeros((H, W, 3), np.float64)
     )
+    margins_out = np.full((spp, H, W), np.inf) if branch_margins else None
     s_idx = np.arange(spp, dtype=np.uint32)[:, None, None]
     for row0 in range(0, H, rows_per_band):
         n_rows = min(rows_per_band, H - row0)
@@ -811,6 +888,7 @@ def oracle_render(
         alive = np.ones(shape, bool)
         suppress = np.zeros(shape, bool)
         prev_pdf = np.zeros(shape)
+        band_margin = np.full(shape, np.inf) if branch_margins else None
 
         for depth in range(1, max_depth + 1):
             # One bounce (ops/shade.py:54-303, NEE/MIS arms included).
@@ -819,7 +897,9 @@ def oracle_render(
             sx = np.broadcast_to(sx, shape)
             sy = np.broadcast_to(sy, shape)
 
-            mask, sidx, point, normal, hit_t = _intersect(sc, o, d)
+            mask, sidx, point, normal, hit_t = _intersect(
+                sc, o, d, margin=band_margin, alive=alive
+            )
             if sc.kind.size:
                 kind = sc.kind[sidx]
                 albv = _V(*(sc.alb[sidx, k] for k in range(3)))
@@ -831,8 +911,17 @@ def oracle_render(
 
             miss = alive & ~mask
             is_em = kind == MaterialKind.EMISSIVE
-            emit = alive & mask & is_em & (_dot(normal, d) < 0.0)
+            facing = _dot(normal, d)
+            emit = alive & mask & is_em & (facing < 0.0)
             scatter = alive & mask & ~is_em
+            if band_margin is not None:
+                # Emissive facing: (−n)·d crossing 0 keeps/drops the full
+                # emission — a path-determining branch.
+                np.minimum(
+                    band_margin,
+                    np.where(alive & mask & is_em, np.abs(facing), np.inf),
+                    out=band_margin,
+                )
 
             emit_w = None
             if lights is not None and physical:
@@ -934,7 +1023,10 @@ def oracle_render(
                 radz += np.where(lit, tput.z * albv.z * lemit.z * cw, 0.0)
                 suppress = diffuse
 
-            wi = _sample_directions(kind, expo, normal, d, sx, sy, physical)
+            wi = _sample_directions(
+                kind, expo, normal, d, sx, sy, physical,
+                margin=band_margin, margin_mask=scatter,
+            )
             new_tput = tput.had(albv)
             if physical:
                 # Physical glossy walk weight (ops/shade.py:270-290).
@@ -958,6 +1050,8 @@ def oracle_render(
 
         if raw_samples:
             out[:, row0 : row0 + n_rows] = np.stack([radx, rady, radz], axis=-1)
+            if branch_margins:
+                margins_out[:, row0 : row0 + n_rows] = band_margin
             continue
         acc = np.stack(
             [radx.sum(axis=0), rady.sum(axis=0), radz.sum(axis=0)], axis=-1
@@ -966,6 +1060,8 @@ def oracle_render(
         m = img.max(axis=-1, keepdims=True)
         with np.errstate(divide="ignore"):  # m == 0 rows select the 1.0 arm
             out[row0 : row0 + n_rows] = img * np.where(m > 1.0, 1.0 / m, 1.0)
+    if branch_margins:
+        return out, margins_out
     return out
 
 

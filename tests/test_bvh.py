@@ -315,44 +315,168 @@ class TestKernelScan:
         )
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    def test_kernel_scan_matches_xla_statistically(self):
+    def _parity_setup(self):
         from flux_tpu.camera import camera_arrays
-        from flux_tpu.ops.pallas_kernel import render_block_pallas
-        from flux_tpu.render import render_block_impl
 
         sd = sphere_field(70, 4, width=32, height=16)
         sc = compile_scene(sd)
         cam = camera_arrays(
             sd.camera_settings, sd.camera_data, sd.output_settings.pixel_size
         )
-        kw = dict(img_w=32, img_h=16, n_rows=16, n_samples=4, root=2, max_depth=3)
+        kw = dict(img_w=32, img_h=16, n_rows=16, root=2, max_depth=3)
+        return sd, sc, cam, kw
+
+    @staticmethod
+    def _xla_samples(sc, cam, kw, spp=4):
+        from flux_tpu.ops.intersect import Intersector
+        from flux_tpu.render import render_block_impl
+
+        return np.stack([
+            np.asarray(render_block_impl(
+                sc, cam, np.int32(0), np.uint32(s), np.uint32(0),
+                isect=Intersector(mode="scan"), n_samples=1, **kw,
+            ))
+            for s in range(spp)
+        ])
+
+    @staticmethod
+    def _oracle_adjudicate(sd, a_s, b_s, kw, tol=1e-3):
+        """The principled cross-backend gate, adjudicated by the f64 oracle
+        on bit-identical sample streams. Returns the verdict dict.
+
+        Why not a margin/perturbation certification: path tracing is
+        CHAOTIC — surface curvature amplifies a perturbation by ~d/R per
+        bounce (~100x here), so by depth 3 genuine f32 codegen noise flips
+        branches whose f64 margins reach ~1e-3, while every sample's path
+        passes within ~1e-3 of SOME harmless branch boundary (measured;
+        NOTES.md round-5 entry). Below that Lyapunov-scaled noise floor, a
+        bug is information-theoretically indistinguishable from codegen
+        noise by ANY cross-backend comparison. What IS checkable:
+
+        * ADJUDICATION — every diverging per-sample value must match the
+          f64 oracle's value on ONE side (a whole-path flip lands on a
+          legitimate alternate path; measured agreement ~1e-7). A shared
+          arithmetic bug, drift, or corruption leaves BOTH sides off
+          f64 truth and fails here regardless of magnitude.
+        * NOISE-FLOOR BUDGET — each backend independently disagrees with
+          the oracle on at most ~0.3% of samples (measured; the genuine
+          borderline set). An estimator bug flips its whole epsilon band
+          in ONE backend — magnitude-independent, and attributed to the
+          faulty backend. Budget 1% = 3x measured headroom.
+        """
+        from flux_tpu.oracle import oracle_render
+
+        oz = oracle_render(sd, kw["root"], kw["max_depth"], seed=0,
+                           raw_samples=True)
+        bad_a = np.abs(a_s - oz).max(-1) > tol
+        bad_b = np.abs(b_s - oz).max(-1) > tol
+        div = np.abs(a_s - b_s).max(-1)
+        flips = np.argwhere(div > 1e-5)
+        unadj = sum(
+            1 for f in flips
+            if min(np.abs(a_s[tuple(f)] - oz[tuple(f)]).max(),
+                   np.abs(b_s[tuple(f)] - oz[tuple(f)]).max()) > tol
+        )
+        budget = int(0.01 * bad_a.size)
+        return {
+            "flips": len(flips),
+            "unadjudicated": unadj,
+            "bad_a": int(bad_a.sum()),
+            "bad_b": int(bad_b.sum()),
+            "budget": budget,
+            "ok": unadj == 0
+            and int(bad_a.sum()) <= budget
+            and int(bad_b.sum()) <= budget,
+        }
+
+    def test_kernel_scan_matches_xla_statistically(self):
+        from flux_tpu.ops.pallas_kernel import render_block_pallas
+
+        sd, sc, cam, kw = self._parity_setup()
         a = np.asarray(
             render_block_pallas(
                 sc, cam, np.int32(0), np.uint32(0), np.uint32(0),
-                accel="scan", interpret=True, **kw,
+                accel="scan", interpret=True, n_samples=4, **kw,
             )
         )
         from flux_tpu.ops.intersect import Intersector
+        from flux_tpu.render import render_block_impl
 
         b = np.asarray(
             render_block_impl(
                 sc, cam, np.int32(0), np.uint32(0), np.uint32(0),
-                isect=Intersector(mode="scan"), **kw
+                isect=Intersector(mode="scan"), n_samples=4, **kw
             )
         )
-        # Cross-backend parity is STATISTICAL, not exact (NOTES.md): the two
-        # programs are compiled independently, and one borderline f32
-        # comparison contracted differently diverges that sample's whole
-        # remaining path (full-magnitude pixel difference, not drift). HOW
-        # MANY borderline compares flip depends on the host codegen — the
-        # same code measured 2/512 pixels on one CI machine and 7/512
-        # (frac 0.0137, max|diff| 0.55) on another with different
-        # AVX-512/AMX features. Gate on "few whole-path flips, zero broad
-        # drift": a real estimator/geometry regression moves most pixels
-        # (frac ≫ 0.05), a broken epsilon shifts the mean.
+        # Statistical screen. Cross-backend parity is not exact (NOTES.md):
+        # the two programs are compiled independently, and one borderline
+        # f32 comparison contracted differently diverges that sample's
+        # whole remaining path. Which gate catches which regression class:
+        # whole-path flips are FULL-magnitude (~0.5), so the MEAN gate is
+        # the binding one for them (0.01 mean is hit at ~frac 0.02 — the
+        # frac gate at 0.03 is back-stop headroom); broad small drift
+        # (any shift > 1e-5 everywhere) is caught by the FRAC gate long
+        # before it moves the mean. Host-measured genuine flip rates:
+        # 2/512 .. 7/512 pixels across CI machines.
         frac_diff = (np.abs(a - b) > 1e-5).mean()
-        assert frac_diff < 0.05, f"{frac_diff:.4f} of values diverged"
+        assert frac_diff < 0.03, f"{frac_diff:.4f} of values diverged"
         assert np.abs(a - b).mean() < 0.01
+
+        # Principled gate: per-sample f64-oracle adjudication + per-backend
+        # noise-floor budget (see _oracle_adjudicate). This is what a real
+        # estimator bug cannot hide inside — the statistical screen alone
+        # tolerates any ≤2%-band branch bug.
+        a_s = np.stack([
+            np.asarray(render_block_pallas(
+                sc, cam, np.int32(0), np.uint32(s), np.uint32(0),
+                accel="scan", interpret=True, n_samples=1, **kw,
+            ))
+            for s in range(4)
+        ])
+        b_s = self._xla_samples(sc, cam, kw)
+        verdict = self._oracle_adjudicate(sd, a_s, b_s, kw)
+        assert verdict["ok"], verdict
+
+    def test_parity_gate_fails_on_injected_epsilon_bug(self, monkeypatch):
+        """Meta-test: a deliberate off-by-epsilon BRANCH bug in one backend
+        (a disc >= 0.03·R² guard silently dropping hits within ~1.5% of
+        every sphere silhouette — the class of bug that produces few
+        full-magnitude flips and no drift) must be REJECTED by the
+        adjudicated gate: the buggy backend's oracle-disagreement count
+        blows the noise-floor budget, attributed to the right backend."""
+        import importlib
+
+        import jax.numpy as jnp
+
+        isect_mod = importlib.import_module("flux_tpu.ops.intersect")
+        sd, sc, cam, kw = self._parity_setup()
+
+        a_s = self._xla_samples(sc, cam, kw)  # clean
+
+        orig = isect_mod.sphere_t
+
+        def bugged(o, d, a, inv_a, cx, cy, cz, radius, on_self=None):
+            t, valid = orig(o, d, a, inv_a, cx, cy, cz, radius, on_self=on_self)
+            ocx, ocy, ocz = o.x - cx, o.y - cy, o.z - cz
+            b_half = ocx * d.x + ocy * d.y + ocz * d.z
+            c = ocx * ocx + ocy * ocy + ocz * ocz - radius * radius
+            if on_self is not None:
+                c = jnp.where(on_self, 0.0, c)
+            disc = b_half * b_half - (c if a is None else a * c)
+            thr = 0.03 * radius * radius * (1.0 if a is None else a)
+            return t, valid & (disc >= thr)
+
+        monkeypatch.setattr(isect_mod, "sphere_t", bugged)
+        b_s = self._xla_samples(sc, cam, kw)
+        monkeypatch.undo()
+
+        div = np.abs(a_s - b_s).max(-1)
+        assert (div > 1e-5).sum() > 0, "injection produced no flips"
+        verdict = self._oracle_adjudicate(sd, a_s, b_s, kw)
+        assert not verdict["ok"], verdict
+        # Attribution: the BUGGY backend (b) blew the budget, not the clean
+        # one.
+        assert verdict["bad_b"] > verdict["budget"] >= verdict["bad_a"], verdict
 
 
 class TestMeshScan:
