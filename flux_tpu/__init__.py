@@ -15,7 +15,15 @@ import os as _os
 
 def _host_fingerprint():
     """Short stable id of this host's CPU capabilities (flags + model),
-    used to segregate persistent-cache entries per machine class."""
+    used to segregate persistent-cache entries per machine class.
+
+    Linux reads /proc/cpuinfo (model + feature flags — the signal that
+    actually varies across the TPU-host fleet). Elsewhere the best
+    portable proxies are platform.processor()/machine(): coarser (two
+    same-model Macs share a dir — correct; a same-arch pair with
+    different ISA extensions would too), so non-Linux hosts keep a
+    residual cross-host stale-AOT exposure. Fine for this project: TPU
+    hosts are Linux; the fallback just keeps imports working anywhere."""
     import hashlib
     import platform as _platform
 
@@ -30,7 +38,9 @@ def _host_fingerprint():
                     seen.add(key)
                     blob += line
     except OSError:
-        pass
+        # Non-Linux: no /proc/cpuinfo — fold in the processor string so at
+        # least different CPU models separate.
+        blob += _platform.processor()
     return hashlib.sha256(blob.encode()).hexdigest()[:12]
 
 
@@ -59,9 +69,20 @@ def _setup_compilation_cache():
         # flip — observed as a spurious 1.4% cross-backend radiance
         # divergence (vs 0 when both sides compile on the same host) when
         # this repo directory moved machines between sessions.
-        cache_dir = _os.path.join(
-            repo, "artifacts", "xla_cache", _host_fingerprint()
-        )
+        root = _os.path.join(repo, "artifacts", "xla_cache")
+        cache_dir = _os.path.join(root, _host_fingerprint())
+        # Sweep pre-segregation entries left loose in the cache root
+        # (round-4 layout change): harmless since jax now points at the
+        # per-host subdir, but they include exactly the stale other-host
+        # AOT binaries the segregation exists to quarantine — dead disk
+        # weight a future reader could mistake for cache corruption.
+        try:
+            for name in _os.listdir(root):
+                p = _os.path.join(root, name)
+                if _os.path.isfile(p):
+                    _os.unlink(p)
+        except OSError:
+            pass
     try:
         _os.makedirs(cache_dir, exist_ok=True)
         import jax
