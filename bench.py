@@ -138,6 +138,62 @@ def main():
     except Exception as e:
         extra["cornell_tri_light_nee_1024spp"] = {"error": repr(e)}
     try:
+        # demo3 physical MIS (the 27×-MSE showcase of PERFORMANCE.md):
+        # frame time best-of-3 AND image quality (MSE vs a 1024-spp
+        # converged truth rendered in the same mode) — so an estimator
+        # regression shows up as an MSE jump even at unchanged speed.
+        sd6 = load_scene(os.path.join(here, "scenes", "demo3.yml"))
+        w6_, h6_ = (sd6.output_settings.image_width,
+                    sd6.output_settings.image_height)
+        r6t = Renderer(sd6, sample_root=32, max_depth=DEPTH, seed=7,
+                       nee=True, physical=True)
+        truth = r6t.render_image(rows_per_band=h6_)
+        r6 = Renderer(sd6, sample_root=4, max_depth=DEPTH, seed=0,
+                      nee=True, physical=True)
+        r6.render_rows(0, h6_)
+        img6 = [None]
+
+        def _mis_frame():
+            img6[0] = r6.render_image(rows_per_band=h6_)
+
+        w6, runs6 = best_wall(_mis_frame)
+        extra["demo3_physical_mis_16spp"] = {
+            "wall_clock_s": round(w6, 2),
+            "msamples_per_s": round(w6_ * h6_ * 16 / w6 / 1e6, 1),
+            "all_runs_s": [round(w, 2) for w in runs6],
+            "mse_vs_1024spp": round(
+                float(((img6[0] - truth) ** 2).mean()), 6
+            ),
+        }
+    except Exception as e:
+        extra["demo3_physical_mis_16spp"] = {"error": repr(e)}
+    try:
+        # Adaptive-stop progressive pass on demo2: drives the
+        # ProgressiveRenderer + per-pixel variance channel end-to-end and
+        # records where the noise target stops it — regressions in the
+        # stats channel or the stop logic are visible as spp/wall jumps.
+        from flux_tpu.checkpoint import ProgressiveRenderer
+
+        pr = ProgressiveRenderer(sd, sample_root=32, max_depth=DEPTH, seed=0)
+        t0 = time.time()
+        # Reachable mid-run at this spp budget (p99 rel stderr measured
+        # ~0.10 at the full 1024 spp): the point is to exercise the stop.
+        target = 0.12
+        while not pr.complete:
+            pr.render_pass(64)
+            err = pr.max_rel_stderr()
+            if err is not None and err < target:
+                break
+        extra["demo2_adaptive_stop"] = {
+            "wall_clock_s": round(time.time() - t0, 2),
+            "spp_done": int(pr.samples_done),
+            "spp_max": int(pr.spp),
+            "p99_rel_stderr": round(float(err), 5) if err is not None else None,
+            "noise_target": target,
+        }
+    except Exception as e:
+        extra["demo2_adaptive_stop"] = {"error": repr(e)}
+    try:
         with open(os.path.join(here, "artifacts", "bench_extra.json"), "w") as f:
             json.dump(extra, f, indent=1)
     except Exception:

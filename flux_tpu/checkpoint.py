@@ -63,6 +63,11 @@ def _config_fingerprint(
         cfg["nee"] = 2
     if physical:
         cfg["physical"] = True
+    if nee and physical:
+        # MIS estimator version: v2 = partial-cone clipped light density on
+        # BOTH balance-heuristic sides (round 5; was whole-cone) — a
+        # bit-level estimator change; resumed sums must not mix versions.
+        cfg["mis"] = 2
     blob = json.dumps(cfg, sort_keys=True).encode()
     return hashlib.sha256(blob).hexdigest()
 

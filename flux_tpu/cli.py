@@ -74,11 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--accel",
-        choices=("sweep", "scan", "bvh"),
+        choices=("sweep", "scan"),
         default=None,
         help="intersection strategy (default: auto — unrolled sweep at demo "
-        "scale, blocked scan above 64 spheres; bvh is the experimental "
-        "O(log N) traversal, XLA path only)",
+        "scale, blocked scan above 64 spheres; per-lane BVH traversal was "
+        "measured off the table on TPU — see PERFORMANCE.md)",
     )
     p.add_argument(
         "--nee",

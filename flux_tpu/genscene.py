@@ -5,7 +5,7 @@ The reference ships two hand-written YAML scenes of ~a dozen shapes
 (fluxcore/src/scene.rs:156-160) could never go much further. This module
 generates arbitrarily large sphere-field scenes in the *same* YAML schema
 (scene.rs:42-74, shapes.rs:15-81) — they load in the reference unmodified —
-and is the workload generator for the BVH path (ops/bvh.py).
+and is the workload generator for the large-scene scan path.
 
 CLI: ``python -m flux_tpu.genscene -n 512 --seed 1 -o scenes/spheres512.yml``
 """

@@ -4,7 +4,7 @@ Parity component for the reference's ``BoundingBox::hit`` (fluxcore/src/
 shapes.rs:98-133).  The brute-force wavefront intersector deliberately does
 NOT use per-shape AABB pretests (a scalar-CPU optimization — see
 ops/intersect.py), but the slab test itself remains part of the framework
-surface: it is the building block for BVH traversal over large scenes,
+surface: it is the building block for block-skip acceleration over large scenes,
 where a flattened node array walked with ``lax.while_loop`` replaces the
 reference's (absent) acceleration structure.
 

@@ -37,7 +37,7 @@ from ..scene import SceneArrays
 from ..vec import Vec3
 from ..vec import where as vwhere
 
-__all__ = ["Hit", "Intersector", "ScanLayout", "scan_layout", "TriLayout", "tri_layout", "intersect", "intersect_bvh", "intersect_scan", "intersect_scan_carry", "occluded_sweep", "occluded_scan", "triangle_t", "triangle_nearest", "triangle_occluded", "tri_carry_init", "fold_tri_block", "fold_tri_occluded_block", "merge_tri_hit"]
+__all__ = ["Hit", "Intersector", "ScanLayout", "scan_layout", "TriLayout", "tri_layout", "intersect", "intersect_scan", "intersect_scan_carry", "occluded_sweep", "occluded_scan", "triangle_t", "triangle_nearest", "triangle_occluded", "tri_carry_init", "fold_tri_block", "fold_tri_occluded_block", "merge_tri_hit"]
 
 _T_MIN = np.float32(T_MIN)
 _INF = np.float32(np.inf)
@@ -61,8 +61,8 @@ class Hit(NamedTuple):
 def sphere_t(o: Vec3, d: Vec3, a, inv_a, cx, cy, cz, radius, on_self=None):
     """The reference's ray-sphere quadratic (shapes.rs:176-211): near root
     preferred, far root accepted when the near one is behind T_MIN. Returns
-    (t, valid). The single definition of the hit rule — the unrolled sweep,
-    both scan forms, and the BVH leaf test all fold this.
+    (t, valid). The single definition of the hit rule — the unrolled sweep
+    and both scan forms all fold this.
 
     ``a is None`` selects the unit-direction form (a == d·d == 1 exactly;
     see :func:`quad_a`): the reference normalizes every ray direction
@@ -443,31 +443,9 @@ def intersect(scene: SceneArrays, o: Vec3, d: Vec3, prev=None) -> Hit:
     )
 
 
-def intersect_bvh(scene: SceneArrays, bvh, o: Vec3, d: Vec3, prev=None) -> Hit:
-    """Nearest hit using the sphere BVH (ops/bvh.py) + linear plane sweep.
-
-    Same Hit contract as :func:`intersect`; the per-shape unrolled sweep is
-    replaced by an O(log N) stackless traversal, with the winning sphere's
-    material/normal ingredients gathered once afterwards instead of being
-    carried through the loop. Planes are unbounded and rare, so they keep
-    the reference's linear scan (scene.rs:156-160).
-    """
-    from .bvh import sphere_hits_bvh
-
-    sph = sphere_hits_bvh(scene, bvh, o, d, prev=prev)
-    best_t = sph.t
-
-    pl_t, pl_j, pl_n = _plane_sweep(scene, o, d, prev=prev)
-    # Combine: ties keep the sphere, matching the sweep's shape ordering
-    # (spheres first) and the reference's `<=`-biased min (common.rs:16-24).
-    use_plane = pl_t < best_t
-    t = jnp.minimum(best_t, pl_t)
-    return _gather_hit(scene, o, d, t, sph.index, use_plane, pl_j, pl_n, prev=prev)
-
-
 def _gather_hit(scene: SceneArrays, o: Vec3, d: Vec3, best_t, sph_idx, use_plane, pl_j, pl_n, prev=None) -> Hit:
     """Assemble the Hit record from a winning (sphere index | plane) pair by
-    gathering the material table once — shared by the BVH and scan paths."""
+    gathering the material table once — shared by the scan paths."""
     ns = scene.num_spheres
     shape_idx = jnp.where(use_plane, np.int32(ns) + pl_j, sph_idx)
 
@@ -513,12 +491,15 @@ def _gather_hit(scene: SceneArrays, o: Vec3, d: Vec3, best_t, sph_idx, use_plane
     )
 
 
-def _plane_sweep(scene: SceneArrays, o: Vec3, d: Vec3, prev=None):
+def _plane_sweep(scene: SceneArrays, o: Vec3, d: Vec3, prev=None, ns_base=None):
     """Linear plane sweep shared by the accelerated paths. ``prev`` excludes
-    the plane the ray originates on (see :func:`intersect`)."""
+    the plane the ray originates on (see :func:`intersect`). ``ns_base``
+    overrides the plane shape-index base (= sphere count) when the caller's
+    scene object carries dummy sphere arrays (the megakernel's scan mode
+    keeps sphere data in a packed block table instead)."""
     batch = o.x.shape
     zeros = jnp.zeros(batch, jnp.float32)
-    ns = scene.num_spheres
+    ns = scene.num_spheres if ns_base is None else ns_base
     pl_t = jnp.full(batch, _INF, jnp.float32)
     pl_j = jnp.zeros(batch, jnp.int32)
     pl_n = Vec3(zeros, zeros, zeros)
@@ -938,21 +919,28 @@ def fold_sphere_block(o, d, a, inv_a, carry, ctr, rad, inv_r_b, kind, exp, alb, 
     return (best_t, best_i, b_kind, b_exp, b_alb, b_ctr, b_inv_r)
 
 
-def finish_scan_carry(scene: SceneArrays, o: Vec3, d: Vec3, carry, prev=None) -> Hit:
+def finish_scan_carry(scene: SceneArrays, o: Vec3, d: Vec3, carry, prev=None, ns_base=None, mat_row0=None) -> Hit:
     """Fold the (unrolled) planes into a sphere winner carry and build the
     Hit. Plane material fields come from the table by *static* plane index,
-    masked in the same way the unrolled sweep does."""
-    ns = scene.num_spheres
+    masked in the same way the unrolled sweep does.
+
+    ``ns_base``/``mat_row0`` decouple the plane SHAPE-index base and the
+    plane MATERIAL-row base from the scene's sphere arrays — the
+    megakernel's scan mode passes dummy one-row sphere/material-sphere
+    arrays (sphere data lives in its packed block table) while keeping
+    the original shape numbering."""
+    ns = scene.num_spheres if ns_base is None else ns_base
+    row0 = ns if mat_row0 is None else mat_row0
     best_t, best_i, b_kind, b_exp, b_alb, b_ctr, b_inv_r = carry
     alb_tab = scene.mat_color * scene.mat_param[:, None]
 
-    pl_t, pl_j, pl_n = _plane_sweep(scene, o, d, prev=prev)
+    pl_t, pl_j, pl_n = _plane_sweep(scene, o, d, prev=prev, ns_base=ns)
     use_plane = pl_t < best_t
     t = jnp.minimum(best_t, pl_t)
     shape_idx = jnp.where(use_plane, np.int32(ns) + pl_j, best_i)
     for j in range(scene.num_planes):
         sel = use_plane & (pl_j == np.int32(j))
-        i = ns + j
+        i = row0 + j
         b_kind = jnp.where(sel, scene.mat_kind[i], b_kind)
         b_exp = jnp.where(sel, scene.mat_exp[i], b_exp)
         b_alb = vwhere(sel, Vec3(alb_tab[i, 0], alb_tab[i, 1], alb_tab[i, 2]), b_alb)
@@ -983,11 +971,12 @@ def finish_scan_carry(scene: SceneArrays, o: Vec3, d: Vec3, carry, prev=None) ->
     )
 
 
-def _plane_occluded(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx, occ, origin_idx=None):
+def _plane_occluded(scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx, occ, origin_idx=None, ns_base=None):
     """Fold the (unrolled) planes into an any-hit occlusion mask.
     ``origin_idx`` excludes the shadow ray's own origin plane (flat shapes
-    cannot self-occlude; see :func:`triangle_occluded`)."""
-    ns = scene.num_spheres
+    cannot self-occlude; see :func:`triangle_occluded`); ``ns_base``
+    overrides the plane shape-index base (see :func:`finish_scan_carry`)."""
+    ns = scene.num_spheres if ns_base is None else ns_base
     for j in range(scene.num_planes):
         px, py, pz = (scene.plane_point[j, k] for k in range(3))
         nx, ny, nz = (scene.plane_normal[j, k] for k in range(3))
@@ -1082,18 +1071,14 @@ class Intersector:
     Built once at Renderer construction; everything downstream — the
     render block, the bounce step, the sharded renderer — just calls it as
     ``isect(scene, o, d)``. ``mode`` is static pytree metadata (a retrace
-    key for jit); the optional BVH arrays travel as traced leaves. The
-    Pallas megakernel substitutes its own ref-slicing closure of the same
-    shape instead (ops/pallas_kernel.py).
+    key for jit). The Pallas megakernel substitutes its own ref-slicing
+    closure of the same shape instead (ops/pallas_kernel.py).
     """
 
-    bvh: Optional[object] = None  # ops/bvh.py BVHArrays for mode='bvh'
     layout: Optional[ScanLayout] = None  # prebuilt scan blocks (scan modes)
-    mode: str = "sweep"  # 'sweep' | 'scan' | 'scan_carry' | 'bvh'
+    mode: str = "sweep"  # 'sweep' | 'scan' | 'scan_carry'
 
     def __call__(self, scene: SceneArrays, o: Vec3, d: Vec3, prev=None) -> Hit:
-        if self.mode == "bvh":
-            return intersect_bvh(scene, self.bvh, o, d, prev=prev)
         if self.mode == "scan":
             return intersect_scan(scene, o, d, layout=self.layout, prev=prev)
         if self.mode == "scan_carry":
@@ -1105,21 +1090,12 @@ class Intersector:
     def occluded(self, scene: SceneArrays, o: Vec3, d: Vec3, t_max, exclude_idx, origin_idx=None):
         """Any-hit shadow test (see :func:`occluded_sweep`): True where some
         shape other than ``exclude_idx`` blocks (o, d) before ``t_max``.
-        The BVH mode derives it from the full traversal (shadow rays are a
-        NEE feature; BVH+NEE is a rare combination not worth a second
-        traversal program) — which is equivalent ONLY under the shadow-ray
-        contract that ``t_max`` is the excluded shape's own nearest t (then
-        "nearest hit is the excluded shape" ⟺ "nothing else before t_max");
-        with a larger t_max the derived form misses occluders behind the
-        excluded shape. Callers (ops/shade.py) always pass the light's t."""
+        Callers (ops/shade.py) always pass the light's own ray-t."""
         if self.mode in ("scan", "scan_carry"):
             return occluded_scan(
                 scene, o, d, t_max, exclude_idx, layout=self.layout,
                 origin_idx=origin_idx,
             )
-        if self.mode == "bvh":
-            h = intersect_bvh(scene, self.bvh, o, d, prev=origin_idx)
-            return h.mask & (h.t < t_max) & (h.shape != exclude_idx)
         return occluded_sweep(scene, o, d, t_max, exclude_idx, origin_idx=origin_idx)
 
 
@@ -1127,5 +1103,5 @@ class Intersector:
 
 
 jax.tree_util.register_dataclass(
-    Intersector, data_fields=["bvh", "layout"], meta_fields=["mode"]
+    Intersector, data_fields=["layout"], meta_fields=["mode"]
 )

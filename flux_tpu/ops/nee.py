@@ -43,6 +43,21 @@ the normalized-Phong BRDF f = ks·cs·(e+2)/(2π)·(r·w)^e against the
 flip-corrected cos^e lobe pdf — the fix for fireflies from strong small
 lights seen off glossy lobes (tests/test_physical.py::TestGlossyMIS).
 Perfect mirrors stay pure BSDF (delta lobe).
+
+MIS mode uses the PARTIAL-CONE (horizon-clipped) sphere-light density on
+BOTH sides of the balance heuristic (round 5): the NEE vertex samples the
+clipped arc, and the emission side evaluates the same clipped density via
+the PREVIOUS vertex's stored normal (``PathState.prev_normal``) — a single
+consistent density, so Σw = 1 and the estimator stays unbiased. Every
+walk direction leaving a vertex lies above that vertex's horizon (cosine
+and flip-corrected Phong lobes have no below-horizon support), and the
+conservatively-over-covering arc contains the whole above-horizon ring
+region, so the clipped density is well-defined (non-zero) for every
+direction the BSDF walk can hit a light along. Measured single-vertex
+variance of the MIS direct-light term vs whole-cone sampling: 1.0× with
+the light overhead, 2.25× lower at light_y=0.5, 3.8× at 0.2, 4.5–4.7×
+at/below the horizon (NOTES.md round-5 entry) — the gap the round-4
+whole-cone compromise left on the table.
 """
 
 from __future__ import annotations
@@ -88,6 +103,20 @@ def _acos_conservative(x):
     a = jnp.sqrt(jnp.maximum(1.0 - ax, 0.0)) * poly  # arccos(|x|)
     a = jnp.where(x < 0.0, np.float32(np.pi) - a, a)
     return jnp.clip(a + np.float32(1e-4), 0.0, np.float32(np.pi))
+
+
+def _clip_arc_halfangle(rho, n_w, cos_a, sin_a):
+    """Half-angle φ_lim of the above-horizon azimuth arc on the cone ring
+    at polar angle (cos_a, sin_a), for a surface normal whose cone-frame
+    decomposition has in-plane magnitude ρ and axis component n_w — the
+    ONE definition of the clipped-density arc, shared by the sampler and
+    the MIS reverse density (a mismatch there would break Σw = 1).
+
+    sin_a·ρ ≈ 0 (axis sample or normal ∥ axis): visibility is the sign of
+    the remaining term cos_a·n_w — the clamp handles it: n_w > 0 ⇒
+    c → −inf ⇒ full ring; n_w < 0 ⇒ c → +inf ⇒ empty."""
+    c = -(cos_a * n_w) / jnp.maximum(sin_a * rho, np.float32(1e-12))
+    return _acos_conservative(jnp.clip(c, -1.0, 1.0))
 
 
 @dataclass(frozen=True)
@@ -346,11 +375,7 @@ def sample_light_dirs(lights: LightArrays, p: Vec3, ux, uy, upick, normal: Vec3 
         n_v = normal.x * v.x + normal.y * v.y + normal.z * v.z
         n_w = normal.x * w.x + normal.y * w.y + normal.z * w.z
         rho = jnp.sqrt(n_u * n_u + n_v * n_v)
-        c = -(cos_a * n_w) / jnp.maximum(sin_a * rho, np.float32(1e-12))
-        # sin_a·ρ ≈ 0 (axis sample or normal ∥ axis): visibility is the
-        # sign of the remaining term cos_a·n_w — the clamp handles it:
-        # n_w > 0 ⇒ c → −inf ⇒ full ring; n_w < 0 ⇒ c → +inf ⇒ empty.
-        phi_lim = _acos_conservative(jnp.clip(c, -1.0, 1.0))
+        phi_lim = _clip_arc_halfangle(rho, n_w, cos_a, sin_a)
         arc_frac = phi_lim * np.float32(1.0 / np.pi)
         # φ = φ0 + δ via angle addition; ρ ∥ axis ⇒ any φ0 serves (full or
         # empty ring), but it must stay a unit rotation — hence the guard.
@@ -440,7 +465,7 @@ def light_emission(lights: LightArrays, shape_idx):
     return m
 
 
-def nee_pdf_toward(lights: LightArrays, p: Vec3, shape_idx, d: Vec3 = None, t=None):
+def nee_pdf_toward(lights: LightArrays, p: Vec3, shape_idx, d: Vec3 = None, t=None, normal: Vec3 = None):
     """Solid-angle density with which NEE at ``p`` would have sampled a
     direction toward the light identified by ``shape_idx`` — the balance-
     heuristic counterweight for BSDF hits of a light. Zero for non-lights.
@@ -449,6 +474,14 @@ def nee_pdf_toward(lights: LightArrays, p: Vec3, shape_idx, d: Vec3 = None, t=No
     consulted for triangle lights, whose area-sampling density depends on
     the actual hit point: pdf = pick·t²/(A·cosθ_l). Sphere-light sets can
     omit them (the cone density needs only ``p``).
+
+    ``normal`` (the normal AT ``p`` — the previous vertex's stored normal,
+    PathState.prev_normal) selects the PARTIAL-CONE clipped density, the
+    exact reverse of ``sample_light_dirs(..., normal=...)``: the ring of
+    ``d`` gets density ·π/φ_lim. Every BSDF direction leaving ``p`` lies
+    above its horizon, hence inside the (conservatively over-covering)
+    sampled arc, so the clipped density is well-defined wherever a BSDF
+    hit can occur. Requires ``d``.
 
     Approximation shared with every production tracer: when light cones
     overlap, only the hit light's own cone density is counted.
@@ -487,6 +520,27 @@ def nee_pdf_toward(lights: LightArrays, p: Vec3, shape_idx, d: Vec3 = None, t=No
             cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
             omega = _TWO_PI * (1.0 - cos_max)
             pdf_k = lights.pick[k] / jnp.maximum(omega, 1e-20)
+            if normal is not None:
+                # Clipped density on the ring of d (see docstring): the
+                # same cone frame, ρ/n_w decomposition, and φ_lim formula
+                # as the sampler — bit-matching by shared construction.
+                dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
+                inv = 1.0 / dist
+                w = Vec3(dcx * inv, dcy * inv, dcz * inv)
+                eps = Vec3(
+                    jnp.float32(0.0034), jnp.float32(1.0), jnp.float32(0.0071)
+                )
+                u, v = frame_about(w, eps)
+                cos_a = w.x * d.x + w.y * d.y + w.z * d.z
+                sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+                n_u = normal.x * u.x + normal.y * u.y + normal.z * u.z
+                n_v = normal.x * v.x + normal.y * v.y + normal.z * v.z
+                n_w = normal.x * w.x + normal.y * w.y + normal.z * w.z
+                rho = jnp.sqrt(n_u * n_u + n_v * n_v)
+                phi_lim = _clip_arc_halfangle(rho, n_w, cos_a, sin_a)
+                pdf_k = pdf_k * np.float32(np.pi) / jnp.maximum(
+                    phi_lim, np.float32(1e-9)
+                )
             # Inside the light NEE cannot sample it at all.
             pdf_k = jnp.where(dist2 <= r * r, 0.0, pdf_k)
         pdf = jnp.where(sel, pdf_k, pdf)

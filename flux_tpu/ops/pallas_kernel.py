@@ -126,18 +126,17 @@ def _kernel(
     light_tn_ref,  # (L, 3) f32 unit authored normal
     light_ta_ref,  # (L, 1) f32 triangle area
     sphere_idx_ref,  # (Ns, 1) i32 sorted-position -> original sphere index
-    aabb_ref,  # (n_blocks, 6) f32 SMEM per-block AABBs (scan mode)
-    super_aabb_ref,  # (n_super, 6) f32 SMEM per-SUPERBLOCK union AABBs
-    tri_v0_ref,  # (Nt, 3) f32 triangle v0 (Morton-sorted; dummy (1,3) w/o tris)
-    tri_e1_ref,  # (Nt, 3) f32
-    tri_e2_ref,  # (Nt, 3) f32
-    tri_n_ref,  # (Nt, 3) f32 unit geometric normal
-    tri_kind_ref,  # (Nt, 1) i32
-    tri_exp_ref,  # (Nt, 1) f32
-    tri_alb_ref,  # (Nt, 3) f32 color x param
-    tri_idx_ref,  # (Nt, 1) i32 sorted-position -> original triangle index
-    tri_aabb_ref,  # (n_tri_blocks, 6) f32 SMEM per-block AABBs
-    tri_super_aabb_ref,  # (n_tri_super, 6) f32 SMEM per-superblock unions
+    sphere_tbl_ref,  # (n_blocks, 3, 128) f32 LANE-PACKED scan blocks (see
+    #   _pack_scan_blocks: VMEM pads the last axis of every ref to 128
+    #   lanes, so per-sphere (N, 1)/(N, 3) refs cost 128×/43× their true
+    #   bytes — the hidden VMEM ceiling that OOM'd at 65k spheres. The
+    #   packed rows cost exactly their data.)  Dummy (1, 3, 128) in sweep.
+    aabb_ref,  # (n_blocks·6,) f32 SMEM per-block AABBs, flat (scan mode)
+    super_aabb_ref,  # (n_super·6,) f32 SMEM per-SUPERBLOCK unions, flat
+    tri_tbl_ref,  # (n_tri_blocks, 3, 128) f32 lane-packed triangle blocks
+    #   (_pack_tri_blocks); dummy (1, 3, 128) for triangle-free scenes.
+    tri_aabb_ref,  # (n_tri_blocks·6,) f32 SMEM per-block AABBs, flat
+    tri_super_aabb_ref,  # (n_tri_super·6,) f32 SMEM per-superblock unions
     out_ref,  # (8, LANES) f32 block; rows 0..2 = rgb sums
     *scratch,  # [st_ref if early_exit True | alive_ref if "cond"+skip][scan_ref][tri_ref]
     img_w: int,
@@ -157,6 +156,9 @@ def _kernel(
     light_kinds: tuple,
     scan_super: bool,
     tri_super: bool,
+    ns_base,  # scan mode: shape-numbering sphere count (refs hold dummies)
+    mat_row0,  # scan mode: material row where plane rows start (= 1)
+    tri_base: int,  # triangle shape-index base (ns_base|Ns + planes)
 ):
     j = pl.program_id(1)
     si = 0
@@ -243,6 +245,11 @@ def _kernel(
         # −1: camera rays originate on no shape (exact self-re-hit
         # exclusion; see ops/intersect.sphere_t ``on_self``).
         prev_shape=jnp.full(shape, -1, jnp.int32),
+        # MIS only: previous vertex's normal for the clipped reverse
+        # light density (ops/shade.py PathState.prev_normal).
+        prev_normal=(
+            Vec3(zeros, zeros, zeros) if (nee and physical) else None
+        ),
     )
 
     lights_v = None
@@ -299,12 +306,18 @@ def _kernel(
         t_max) cannot change that lane — the lane drops out of the
         any-reduce. Nearest folds pass cap_strict=False (t0 <= cap keeps
         equal-t lowest-index tie candidates); occlusion folds pass
-        cap_strict=True (only t < t_max occludes)."""
+        cap_strict=True (only t < t_max occludes).
+
+        ``box_ref`` is a FLAT 1-D SMEM array of 6-word records: SMEM pads
+        the last axis of a 2-D window to 512 bytes per row, so an (M, 6)
+        table would cost M·512 B of the ~1 MB SMEM (measured OOM at 16k
+        spheres); flat layout costs the true M·24 B."""
         # Same slab recipe as ops/aabb.py aabb_hit (inf/NaN handled by
         # IEEE min/max), but with t0 <= t1 (conservative for degenerate
         # flat boxes) and a hoisted per-call inverse direction.
-        lox, loy, loz = box_ref[i, 0], box_ref[i, 1], box_ref[i, 2]
-        hix, hiy, hiz = box_ref[i, 3], box_ref[i, 4], box_ref[i, 5]
+        base = i * 6
+        lox, loy, loz = box_ref[base], box_ref[base + 1], box_ref[base + 2]
+        hix, hiy, hiz = box_ref[base + 3], box_ref[base + 4], box_ref[base + 5]
         tx0 = (lox - o.x) * inv_dx
         tx1 = (hix - o.x) * inv_dx
         ty0 = (loy - o.y) * inv_dy
@@ -414,21 +427,21 @@ def _kernel(
             scan_carry_init,
         )
 
-        n_sph_pad = sphere_c_ref.shape[0]
-        assert n_sph_pad % SCAN_BLOCK == 0, "host prep pads to SCAN_BLOCK"
-        n_blocks = n_sph_pad // SCAN_BLOCK
+        n_blocks = sphere_tbl_ref.shape[0]
 
-        def _slice_block(start):
-            ctr = sphere_c_ref[pl.ds(start, SCAN_BLOCK), :]
-            rad = sphere_r_ref[pl.ds(start, SCAN_BLOCK), 0]
-            inv_r_b = sphere_i_ref[pl.ds(start, SCAN_BLOCK), 0]  # pre-divided
-            kind = mat_kind_ref[pl.ds(start, SCAN_BLOCK), 0]
-            exp = mat_exp_ref[pl.ds(start, SCAN_BLOCK), 0]
-            alb = (
-                mat_color_ref[pl.ds(start, SCAN_BLOCK), :]
-                * mat_param_ref[pl.ds(start, SCAN_BLOCK), 0][:, None]
-            )
-            idx = sphere_idx_ref[pl.ds(start, SCAN_BLOCK), 0]
+        def _slice_block(i):
+            """Unpack lane-packed block ``i`` (see _pack_scan_blocks):
+            ``sphere_tbl_ref[i]`` is one (3, 128) tile — dynamic indexing
+            on the untiled leading axis, then STATIC lane segments."""
+            blk = sphere_tbl_ref[i]
+            seg = lambda r, k: blk[r, k * SCAN_BLOCK:(k + 1) * SCAN_BLOCK]
+            ctr = jnp.stack([seg(0, 0), seg(0, 1), seg(0, 2)], axis=1)
+            rad = seg(0, 3)
+            inv_r_b = seg(1, 0)  # pre-divided invert/radius
+            kind = seg(1, 1).astype(jnp.int32)
+            exp = seg(1, 2)
+            idx = seg(1, 3).astype(jnp.int32)
+            alb = jnp.stack([seg(2, 0), seg(2, 1), seg(2, 2)], axis=1)
             return ctr, rad, inv_r_b, kind, exp, alb, idx
 
         def _write_carry(c):
@@ -455,9 +468,7 @@ def _kernel(
                 _write_carry(scan_carry_init(o.x))
 
                 def _fold(i):
-                    ctr, rad, inv_r_b, kind, exp, alb, idx = _slice_block(
-                        i * SCAN_BLOCK
-                    )
+                    ctr, rad, inv_r_b, kind, exp, alb, idx = _slice_block(i)
                     _write_carry(
                         fold_sphere_block(
                             o, d, a, inv_a, _read_carry(),
@@ -473,19 +484,23 @@ def _kernel(
                     o, (1.0 / d.x, 1.0 / d.y, 1.0 / d.z),
                     lambda: need, lambda: scan_ref[0, :, :], False, _fold,
                 )
-                return finish_scan_carry(scene_v, o, d, _read_carry(), prev=prev)
+                return finish_scan_carry(
+                    scene_v, o, d, _read_carry(), prev=prev,
+                    ns_base=ns_base, mat_row0=mat_row0,
+                )
 
             def body(i, carry):
-                ctr, rad, inv_r_b, kind, exp, alb, idx = _slice_block(
-                    i * SCAN_BLOCK
-                )
+                ctr, rad, inv_r_b, kind, exp, alb, idx = _slice_block(i)
                 return fold_sphere_block(
                     o, d, a, inv_a, carry, ctr, rad, inv_r_b, kind, exp, alb,
                     idx, prev=prev,
                 )
 
             carry = jax.lax.fori_loop(0, n_blocks, body, scan_carry_init(o.x))
-            return finish_scan_carry(scene_v, o, d, carry, prev=prev)
+            return finish_scan_carry(
+                scene_v, o, d, carry, prev=prev, ns_base=ns_base,
+                mat_row0=mat_row0,
+            )
 
         def _occluded_fn(scene_v, o, d, t_max, exclude_idx, origin_idx=None):
             # Any-hit shadow test, in-kernel blocked form (see
@@ -495,11 +510,11 @@ def _kernel(
             # scratch as f32 0/1).
             a, inv_a = quad_a(scene_v, d)
 
-            def occ_slice(start):
-                ctr = sphere_c_ref[pl.ds(start, SCAN_BLOCK), :]
-                rad = sphere_r_ref[pl.ds(start, SCAN_BLOCK), 0]
-                idx = sphere_idx_ref[pl.ds(start, SCAN_BLOCK), 0]
-                return ctr, rad, idx
+            def occ_slice(i):
+                blk = sphere_tbl_ref[i]
+                seg = lambda r, k: blk[r, k * SCAN_BLOCK:(k + 1) * SCAN_BLOCK]
+                ctr = jnp.stack([seg(0, 0), seg(0, 1), seg(0, 2)], axis=1)
+                return ctr, seg(0, 3), seg(1, 3).astype(jnp.int32)
 
             if scan_skip:
                 alive = _alive_mask()
@@ -510,7 +525,7 @@ def _kernel(
                     return ~occ_now if alive is None else (alive & ~occ_now)
 
                 def _fold(i):
-                    ctr, rad, idx = occ_slice(i * SCAN_BLOCK)
+                    ctr, rad, idx = occ_slice(i)
                     occ2 = fold_occluded_block(
                         o, d, a, inv_a, scan_ref[11, :, :] > 0.0,
                         ctr, rad, t_max, exclude_idx, idx,
@@ -526,11 +541,12 @@ def _kernel(
                 )
                 occ = scan_ref[11, :, :] > 0.0
                 return _plane_occluded(
-                    scene_v, o, d, t_max, exclude_idx, occ, origin_idx=origin_idx
+                    scene_v, o, d, t_max, exclude_idx, occ,
+                    origin_idx=origin_idx, ns_base=ns_base,
                 )
 
             def body(i, occ):
-                ctr, rad, idx = occ_slice(i * SCAN_BLOCK)
+                ctr, rad, idx = occ_slice(i)
                 return fold_occluded_block(
                     o, d, a, inv_a, occ, ctr, rad, t_max, exclude_idx, idx,
                     origin_idx=origin_idx,
@@ -538,7 +554,8 @@ def _kernel(
 
             occ = jax.lax.fori_loop(0, n_blocks, body, (o.x * 0.0) > 0.0)
             return _plane_occluded(
-                scene_v, o, d, t_max, exclude_idx, occ, origin_idx=origin_idx
+                scene_v, o, d, t_max, exclude_idx, occ,
+                origin_idx=origin_idx, ns_base=ns_base,
             )
 
         intersect_fn.occluded = _occluded_fn
@@ -560,25 +577,27 @@ def _kernel(
             tri_carry_init,
         )
 
-        n_tri_pad = tri_v0_ref.shape[0]
-        assert n_tri_pad % TRI_SCAN_BLOCK == 0, "host prep pads to TRI_SCAN_BLOCK"
-        n_tri_blocks = n_tri_pad // TRI_SCAN_BLOCK
-        # Shape-index base for triangles in the kernel's REBUILT scene
-        # (padded sphere count + plane count): internally consistent with
-        # finish_scan_carry/_plane_occluded's numbering, strictly above any
-        # original sphere index, so NEE light matching and shadow-ray
-        # self-exclusion behave exactly as in the XLA path.
-        tri_base = np.int32(sphere_c_ref.shape[0] + plane_p_ref.shape[0])
+        n_tri_blocks = tri_tbl_ref.shape[0]
+        # tri_base (static kwarg, host-computed): shape-index base for
+        # triangles in the kernel's numbering (sphere numbering count +
+        # plane count) — strictly above any original sphere index, so NEE
+        # light matching and shadow-ray self-exclusion behave exactly as
+        # in the XLA path.
+        tri_base_ = np.int32(tri_base)
 
-        def _tri_slice(start):
-            v0 = tri_v0_ref[pl.ds(start, TRI_SCAN_BLOCK), :]
-            e1 = tri_e1_ref[pl.ds(start, TRI_SCAN_BLOCK), :]
-            e2 = tri_e2_ref[pl.ds(start, TRI_SCAN_BLOCK), :]
-            n3 = tri_n_ref[pl.ds(start, TRI_SCAN_BLOCK), :]
-            kind = tri_kind_ref[pl.ds(start, TRI_SCAN_BLOCK), 0]
-            exp = tri_exp_ref[pl.ds(start, TRI_SCAN_BLOCK), 0]
-            alb = tri_alb_ref[pl.ds(start, TRI_SCAN_BLOCK), :]
-            idx = tri_idx_ref[pl.ds(start, TRI_SCAN_BLOCK), 0]
+        def _tri_slice(i):
+            """Unpack lane-packed triangle block ``i`` (_pack_tri_blocks)."""
+            blk = tri_tbl_ref[i]
+            B = TRI_SCAN_BLOCK
+            seg = lambda r, k: blk[r, k * B:(k + 1) * B]
+            v0 = jnp.stack([seg(0, 0), seg(0, 1), seg(0, 2)], axis=1)
+            e1 = jnp.stack([seg(0, 3), seg(0, 4), seg(0, 5)], axis=1)
+            e2 = jnp.stack([seg(0, 6), seg(0, 7), seg(1, 0)], axis=1)
+            n3 = jnp.stack([seg(1, 1), seg(1, 2), seg(1, 3)], axis=1)
+            kind = seg(1, 4).astype(jnp.int32)
+            exp = seg(1, 5)
+            idx = seg(1, 6).astype(jnp.int32)
+            alb = jnp.stack([seg(2, 0), seg(2, 1), seg(2, 2)], axis=1)
             return v0, e1, e2, n3, kind, exp, alb, idx
 
         def _tri_write(c):
@@ -604,7 +623,7 @@ def _kernel(
         def _tri_isect(scene_v, o, d, prev=None):
             hit = base_isect(scene_v, o, d, prev=prev)
             # Triangle-relative self-exclusion index (negative = none).
-            prev_tri = None if prev is None else prev - tri_base
+            prev_tri = None if prev is None else prev - tri_base_
             if tri_skip:
                 need = _alive_mask()
                 # Seed the carry's winner t with the sphere/plane winner:
@@ -621,7 +640,7 @@ def _kernel(
                 def _fold(i):
                     _tri_write(
                         fold_tri_block(
-                            o, d, _tri_read(), *_tri_slice(i * TRI_SCAN_BLOCK),
+                            o, d, _tri_read(), *_tri_slice(i),
                             prev_tri=prev_tri,
                         )
                     )
@@ -633,16 +652,16 @@ def _kernel(
                     o, (1.0 / d.x, 1.0 / d.y, 1.0 / d.z),
                     lambda: need, lambda: tri_ref[0, :, :], False, _fold,
                 )
-                return merge_tri_hit(hit, o, d, _tri_read(), tri_base)
+                return merge_tri_hit(hit, o, d, _tri_read(), tri_base_)
 
             def body(i, carry):
                 return fold_tri_block(
-                    o, d, carry, *_tri_slice(i * TRI_SCAN_BLOCK),
+                    o, d, carry, *_tri_slice(i),
                     prev_tri=prev_tri,
                 )
 
             carry = jax.lax.fori_loop(0, n_tri_blocks, body, tri_carry_init(o.x))
-            return merge_tri_hit(hit, o, d, carry, tri_base)
+            return merge_tri_hit(hit, o, d, carry, tri_base_)
 
         def _tri_occluded(scene_v, o, d, t_max, exclude_idx, origin_idx=None):
             occ0 = base_occluded(
@@ -650,11 +669,9 @@ def _kernel(
             )
             if not tri_skip:
                 def body(i, occ):
-                    v0, e1, e2, n3, kind, exp, alb, idx = _tri_slice(
-                        i * TRI_SCAN_BLOCK
-                    )
+                    v0, e1, e2, n3, kind, exp, alb, idx = _tri_slice(i)
                     return fold_tri_occluded_block(
-                        o, d, occ, v0, e1, e2, t_max, exclude_idx, idx, tri_base,
+                        o, d, occ, v0, e1, e2, t_max, exclude_idx, idx, tri_base_,
                         origin_idx=origin_idx,
                     )
 
@@ -671,12 +688,10 @@ def _kernel(
                 return ~occ_now if alive is None else (alive & ~occ_now)
 
             def _fold(i):
-                v0, e1, e2, n3, kind, exp, alb, idx = _tri_slice(
-                    i * TRI_SCAN_BLOCK
-                )
+                v0, e1, e2, n3, kind, exp, alb, idx = _tri_slice(i)
                 occ2 = fold_tri_occluded_block(
                     o, d, tri_ref[10, :, :] > 0.0, v0, e1, e2,
-                    t_max, exclude_idx, idx, tri_base,
+                    t_max, exclude_idx, idx, tri_base_,
                     origin_idx=origin_idx,
                 )
                 tri_ref[10, :, :] = occ2.astype(jnp.float32)
@@ -749,14 +764,15 @@ def _kernel(
                 # vectors crossing a Mosaic value-yielding cond are riskier
                 # than f32; bools can't at all).
                 st.prev_shape.astype(jnp.float32),
+                st.prev_normal,  # Vec3 | None (MIS only)
             )
 
         def _unpack(t):
-            o_, d_, tp, rd, al, sp, pp, ps = t
+            o_, d_, tp, rd, al, sp, pp, ps, pn = t
             return PathState(
                 o=o_, d=d_, throughput=tp, radiance=rd, alive=al > 0.0,
                 suppress=(sp > 0.0) if nee else None, prev_pdf=pp,
-                prev_shape=ps.astype(jnp.int32),
+                prev_shape=ps.astype(jnp.int32), prev_normal=pn,
             )
 
         carried = _pack(make_step(1)(state))
@@ -793,8 +809,11 @@ def _kernel(
             if nee:
                 vals += [st.suppress.astype(jnp.float32), st.prev_pdf]
             # prev_shape rides as f32 (exact below 2^24; no i32 VMEM row
-            # needed) in the LAST row so the alive row stays at index 12.
+            # needed) AFTER the nee rows so the alive row stays at index 12;
+            # MIS adds the prev_normal triple at the very end.
             vals.append(st.prev_shape.astype(jnp.float32))
+            if nee and physical:
+                vals += [st.prev_normal.x, st.prev_normal.y, st.prev_normal.z]
             for k, v in enumerate(vals):
                 st_ref[k, :, :] = jnp.broadcast_to(v, (s_blk, LANES))
 
@@ -809,6 +828,9 @@ def _kernel(
                 suppress=(g(13) > 0.0) if nee else None,
                 prev_pdf=g(14) if nee else None,
                 prev_shape=g(15 if nee else 13).astype(jnp.int32),
+                prev_normal=(
+                    Vec3(g(16), g(17), g(18)) if (nee and physical) else None
+                ),
             )
 
         # The initial state is written first so the scan skip's alive mask
@@ -980,6 +1002,48 @@ def render_block_pallas(
                 target_ns += padn
         else:
             super_aabb = jnp.full((1, 6), np.nan, jnp.float32)
+        # LANE-PACK the per-sphere data into (n_blocks, 3, 128) tiles
+        # (_slice_block unpacks): VMEM pads every ref's last axis to 128
+        # lanes, so the former (N, 1)/(N, 3) refs cost 128×/43× their true
+        # bytes — at 65k spheres that's ~160 MB of the chip's 128 MB VMEM
+        # (measured OOM). Packed rows cost exactly their data (12.6 MB at
+        # 262k spheres). Layout per block row r, lane segment k·32..k·32+31:
+        #   r0: ctr.x | ctr.y | ctr.z | radius
+        #   r1: inv_r | kind  | exp   | original index   (ints exact as f32)
+        #   r2: alb.r | alb.g | alb.b | unused
+        assert SCAN_BLOCK * 4 == LANES, "packing assumes 32-sphere blocks"
+        nbf = target_ns // SCAN_BLOCK
+        seg_ = lambda a: a.reshape(nbf, SCAN_BLOCK)
+        alb_sc = sph_color * sph_param[:, None]
+        sphere_tbl = jnp.stack(
+            [
+                jnp.concatenate(
+                    [seg_(sphere_center[:, 0]), seg_(sphere_center[:, 1]),
+                     seg_(sphere_center[:, 2]), seg_(sphere_radius)], axis=1),
+                jnp.concatenate(
+                    [seg_(sphere_invert),
+                     seg_(sph_kind.astype(jnp.float32)), seg_(sph_exp),
+                     seg_(sphere_idx[:, 0].astype(jnp.float32))], axis=1),
+                jnp.concatenate(
+                    [seg_(alb_sc[:, 0]), seg_(alb_sc[:, 1]), seg_(alb_sc[:, 2]),
+                     jnp.zeros((nbf, SCAN_BLOCK), jnp.float32)], axis=1),
+            ],
+            axis=1,
+        )
+        # Shape numbering keeps the padded sphere count (planes/triangles
+        # number above it; packed entries carry ORIGINAL sphere indices),
+        # but the scene-rebuild refs shrink to one dummy row — scan mode
+        # reads sphere data only through the packed table.
+        ns_base = target_ns
+        mat_row0 = 1
+        sphere_center = jnp.full((1, 3), np.nan, jnp.float32)
+        sphere_radius = jnp.ones((1,), jnp.float32)
+        sphere_invert = jnp.ones((1,), jnp.float32)
+        sphere_idx = jnp.zeros((1, 1), jnp.int32)
+        sph_kind = jnp.zeros((1,), jnp.int32)
+        sph_exp = jnp.zeros((1,), jnp.float32)
+        sph_color = jnp.zeros((1, 3), jnp.float32)
+        sph_param = jnp.zeros((1,), jnp.float32)
     else:
         target_ns = max(n_sph_real, 1)
         sph_mats = target_ns - n_sph_real
@@ -1001,6 +1065,9 @@ def render_block_pallas(
         scan_aabb = jnp.zeros((1, 6), jnp.float32)
         scan_super = False
         super_aabb = jnp.full((1, 6), np.nan, jnp.float32)
+        sphere_tbl = jnp.zeros((1, 3, LANES), jnp.float32)  # dummy
+        ns_base = None  # sweep numbering derives from the real refs
+        mat_row0 = None
 
         def pad0(a, tail=()):
             if not sph_mats:
@@ -1024,6 +1091,7 @@ def render_block_pallas(
 
     ns = sphere_center.shape[0]
     npl_ = plane_point.shape[0]
+    ns_num = ns_base if ns_base is not None else ns  # shape-numbering count
     n_blocks_aabb = scan_aabb.shape[0]
 
     def mats(sph_rows, plane_rows, fill_shape_tail=()):
@@ -1042,22 +1110,27 @@ def render_block_pallas(
     mat_param = mats(sph_param, scene.mat_param[pl_lo:pl_hi])
     mat_exp = mats(sph_exp, scene.mat_exp[pl_lo:pl_hi])
 
-    # Triangles: Morton-sorted TRI_SCAN_BLOCK layout (ops/intersect.py);
-    # dummies keep the kernel ABI fixed for triangle-free scenes.
+    # Triangles: Morton-sorted TRI_SCAN_BLOCK layout (ops/intersect.py),
+    # LANE-PACKED into (n_tri_blocks, 3, 128) tiles for the same VMEM
+    # economics as the sphere table (_pack layout in _tri_slice: row 0 =
+    # v0.xyz|e1.xyz|e2.xy, row 1 = e2.z|n.xyz|kind|exp|idx|pad, row 2 =
+    # alb.rgb|pad — 8 segments of TRI_SCAN_BLOCK=16 lanes per row).
+    # Dummies keep the kernel ABI fixed for triangle-free scenes.
     tri = scene.num_triangles > 0
     if tri:
         from .intersect import TRI_SCAN_BLOCK, tri_layout
 
+        assert TRI_SCAN_BLOCK * 8 == LANES, "packing assumes 16-tri blocks"
         TL = tri_blocks if tri_blocks is not None else tri_layout(scene)
         ntt = TL.n_blocks * TRI_SCAN_BLOCK
         tri_v0 = TL.v0.reshape(ntt, 3)
         tri_e1 = TL.e1.reshape(ntt, 3)
         tri_e2 = TL.e2.reshape(ntt, 3)
         tri_n = TL.n.reshape(ntt, 3)
-        tri_kind = TL.kind.reshape(ntt, 1)
-        tri_exp = TL.exp.reshape(ntt, 1)
+        tri_kind = TL.kind.reshape(ntt)
+        tri_exp = TL.exp.reshape(ntt)
         tri_alb = TL.alb.reshape(ntt, 3)
-        tri_idx = TL.idx.reshape(ntt, 1)
+        tri_idx = TL.idx.reshape(ntt)
         tri_aabb = jnp.concatenate([TL.bmin, TL.bmax], axis=1)  # (ntb, 6)
         tri_super = bool(tri_skip) and TL.n_blocks >= SUPER_ENGAGE
         if tri_super:
@@ -1076,21 +1149,38 @@ def render_block_pallas(
                 tri_e1 = padtri(tri_e1, 0.0, (3,))
                 tri_e2 = padtri(tri_e2, 0.0, (3,))
                 tri_n = padtri(tri_n, 0.0, (3,))
-                tri_kind = padtri(tri_kind, 0, (1,))
-                tri_exp = padtri(tri_exp, 0.0, (1,))
+                tri_kind = padtri(tri_kind, 0)
+                tri_exp = padtri(tri_exp, 0.0)
                 tri_alb = padtri(tri_alb, 0.0, (3,))
-                tri_idx = padtri(tri_idx, -1, (1,))
+                tri_idx = padtri(tri_idx, -1)
+                ntt += padn
         else:
             tri_super_aabb = jnp.full((1, 6), np.nan, jnp.float32)
+        ntb = ntt // TRI_SCAN_BLOCK
+        tseg = lambda a: a.reshape(ntb, TRI_SCAN_BLOCK)
+        zt = jnp.zeros((ntb, TRI_SCAN_BLOCK), jnp.float32)
+        tri_tbl = jnp.stack(
+            [
+                jnp.concatenate(
+                    [tseg(tri_v0[:, 0]), tseg(tri_v0[:, 1]), tseg(tri_v0[:, 2]),
+                     tseg(tri_e1[:, 0]), tseg(tri_e1[:, 1]), tseg(tri_e1[:, 2]),
+                     tseg(tri_e2[:, 0]), tseg(tri_e2[:, 1])], axis=1),
+                jnp.concatenate(
+                    [tseg(tri_e2[:, 2]), tseg(tri_n[:, 0]), tseg(tri_n[:, 1]),
+                     tseg(tri_n[:, 2]), tseg(tri_kind.astype(jnp.float32)),
+                     tseg(tri_exp), tseg(tri_idx.astype(jnp.float32)), zt],
+                    axis=1),
+                jnp.concatenate(
+                    [tseg(tri_alb[:, 0]), tseg(tri_alb[:, 1]),
+                     tseg(tri_alb[:, 2]), zt, zt, zt, zt, zt], axis=1),
+            ],
+            axis=1,
+        )
     else:
-        tri_v0 = tri_e1 = tri_e2 = tri_n = tri_alb = jnp.zeros((1, 3), jnp.float32)
-        tri_kind = jnp.zeros((1, 1), jnp.int32)
-        tri_exp = jnp.zeros((1, 1), jnp.float32)
-        tri_idx = jnp.zeros((1, 1), jnp.int32)
+        tri_tbl = jnp.zeros((1, 3, LANES), jnp.float32)
         tri_aabb = jnp.zeros((1, 6), jnp.float32)
         tri_super = False
         tri_super_aabb = jnp.full((1, 6), np.nan, jnp.float32)
-    ntt = tri_v0.shape[0]
     n_tri_blocks_aabb = tri_aabb.shape[0]
     n_super_aabb = super_aabb.shape[0]
     n_tri_super_aabb = tri_super_aabb.shape[0]
@@ -1124,7 +1214,7 @@ def render_block_pallas(
         # scene numbers triangles from the PADDED sphere+plane count
         # (tri_base above). Remap so hit.shape matching (emission
         # suppression, MIS) and shadow-ray self-exclusion line up.
-        shift = np.int32((ns + npl_) - (n_sph_real + scene.num_planes))
+        shift = np.int32((ns_num + npl_) - (n_sph_real + scene.num_planes))
         if shift:
             light_i = jnp.where(
                 light_it.astype(jnp.int32) > 0, light_i + shift, light_i
@@ -1145,8 +1235,10 @@ def render_block_pallas(
         tri=tri, tri_skip=bool(tri and tri_skip), unit_d=scene.unit_d,
         light_kinds=light_kinds, scan_super=scan_super,
         tri_super=bool(tri and tri_super),
+        ns_base=ns_base, mat_row0=mat_row0, tri_base=int(ns_num + npl_),
     )
-    n_state = 16 if nee else 14  # +1: the prev_shape self-exclusion row
+    # 13 base + prev_shape + (nee: suppress, prev_pdf) + (MIS: prev_normal·3)
+    n_state = 14 + (2 if nee else 0) + (3 if (nee and physical) else 0)
     scratch = (
         [pltpu.VMEM((n_state, s_blk, LANES), jnp.float32)]
         if early_exit is True
@@ -1169,7 +1261,18 @@ def render_block_pallas(
 
     grid = (pix_tiles, s_tiles)
     smem = lambda shp: pl.BlockSpec(shp, lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+    smem1 = lambda n: pl.BlockSpec((n,), lambda i, j: (0,), memory_space=pltpu.SMEM)
     whole = lambda shp: pl.BlockSpec(shp, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    whole3 = lambda shp: pl.BlockSpec(shp, lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM)
+
+    # SMEM tables travel FLAT: a 2-D SMEM window pads every row to 512
+    # bytes, so (M, 6) costs M·512 B of the ~1 MB SMEM — the hidden
+    # ceiling that OOM'd at 16k spheres. Flat costs the true M·24 B,
+    # part of what unlocks the 262k-sphere scale.
+    scan_aabb = scan_aabb.reshape(-1)
+    super_aabb = super_aabb.reshape(-1)
+    tri_aabb = tri_aabb.reshape(-1)
+    tri_super_aabb = tri_super_aabb.reshape(-1)
 
     def _promote(x):
         """Under shard_map all kernel operands must share the output's
@@ -1211,18 +1314,12 @@ def render_block_pallas(
             whole((n_lights, 3)),
             whole((n_lights, 1)),
             whole((sphere_idx.shape[0], 1)),
-            smem((n_blocks_aabb, 6)),
-            smem((n_super_aabb, 6)),
-            whole((ntt, 3)),
-            whole((ntt, 3)),
-            whole((ntt, 3)),
-            whole((ntt, 3)),
-            whole((ntt, 1)),
-            whole((ntt, 1)),
-            whole((ntt, 3)),
-            whole((ntt, 1)),
-            smem((n_tri_blocks_aabb, 6)),
-            smem((n_tri_super_aabb, 6)),
+            whole3(sphere_tbl.shape),
+            smem1(n_blocks_aabb * 6),
+            smem1(n_super_aabb * 6),
+            whole3(tri_tbl.shape),
+            smem1(n_tri_blocks_aabb * 6),
+            smem1(n_tri_super_aabb * 6),
         ],
         out_specs=pl.BlockSpec((8, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
@@ -1262,16 +1359,10 @@ def render_block_pallas(
                 light_tn,
                 light_ta,
                 sphere_idx,
+                sphere_tbl,
                 scan_aabb,
                 super_aabb,
-                tri_v0,
-                tri_e1,
-                tri_e2,
-                tri_n,
-                tri_kind,
-                tri_exp,
-                tri_alb,
-                tri_idx,
+                tri_tbl,
                 tri_aabb,
                 tri_super_aabb,
             ),

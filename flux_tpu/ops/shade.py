@@ -57,6 +57,13 @@ class PathState(NamedTuple):
     # reference's f64 would never take. None = legacy behavior (no
     # exclusion), kept for the precision tests that measure the bug.
     prev_shape: jnp.ndarray = None  # (B,) i32 | None
+    # Physical+NEE (MIS) only: the previous vertex's shading normal — lets
+    # the emission side of the balance heuristic evaluate the PARTIAL-CONE
+    # clipped light density (nee_pdf_toward(..., normal=...)) that the NEE
+    # side sampled with, keeping one consistent density (Σw = 1) while
+    # cutting the grazing-light variance whole-cone sampling left
+    # (2.25–4.7× measured; ops/nee.py module docstring).
+    prev_normal: Vec3 = None  # Vec3 | None
 
 
 def bounce(
@@ -85,7 +92,7 @@ def bounce(
     """
     do_intersect = isect if isect is not None else intersect
 
-    o, d, tput, rad, alive, suppress, prev_pdf, prev_shape = state
+    o, d, tput, rad, alive, suppress, prev_pdf, prev_shape, prev_normal = state
     if prev_shape is None or first_bounce:
         # first_bounce: camera rays originate on no shape (prev ≡ −1), so
         # the per-shape exclusion compares are statically dropped — the
@@ -113,7 +120,9 @@ def bounce(
         from .nee import light_emission, nee_pdf_toward
 
         is_l = light_emission(lights, hit.shape)
-        pdf_nee_prev = nee_pdf_toward(lights, o, hit.shape, d=d, t=hit.t)
+        pdf_nee_prev = nee_pdf_toward(
+            lights, o, hit.shape, d=d, t=hit.t, normal=prev_normal
+        )
         w_b = prev_pdf / jnp.maximum(prev_pdf + pdf_nee_prev, 1e-20)
         emit_w = jnp.where(
             emit_mask,
@@ -192,16 +201,17 @@ def bounce(
         from .nee import sample_light_dirs
 
         ux, uy, upick, nee_active = nee_samples
-        # Partial-cone horizon clipping (reference-compatible mode only):
-        # azimuths are drawn from the above-horizon arc of each cone ring,
-        # weighted by the arc fraction — strictly lower variance for lights
-        # straddling the horizon. MIS mode keeps whole-cone sampling: its
-        # reverse density (nee_pdf_toward at the NEXT vertex) has no access
-        # to this vertex's normal, and MIS weights must use one consistent
-        # density on both sides to keep Σw = 1 (unbiasedness).
+        # Partial-cone horizon clipping in BOTH transports: azimuths are
+        # drawn from the above-horizon arc of each cone ring, weighted by
+        # the arc fraction — strictly lower variance for lights straddling
+        # the horizon. MIS mode (round 5): the reverse density at the NEXT
+        # vertex evaluates the same clipped density via this vertex's
+        # normal carried in PathState.prev_normal, so Σw = 1 holds with
+        # the clipped density on both sides (ops/nee.py docstring; the
+        # whole-cone compromise measured 2.25–4.7× worse at grazing
+        # lights).
         ls = sample_light_dirs(
-            lights, hit.point, ux, uy, upick,
-            normal=None if physical else hit.normal,
+            lights, hit.point, ux, uy, upick, normal=hit.normal,
         )
         ldir, lweight, lidx, pdf_nee = ls.d, ls.weight, ls.sidx, ls.pdf
         cos_s = dot(hit.normal, ldir)
@@ -325,8 +335,10 @@ def bounce(
     if prev_shape is not None:
         # Dead lanes keep their stale index (they never intersect again).
         prev_shape = jnp.where(scatter, hit.shape, prev_shape)
+    if prev_normal is not None:
+        prev_normal = vwhere(scatter, hit.normal, prev_normal)
 
     return PathState(
         o=o, d=d, throughput=tput, radiance=rad, alive=scatter, suppress=suppress,
-        prev_pdf=prev_pdf, prev_shape=prev_shape,
+        prev_pdf=prev_pdf, prev_shape=prev_shape, prev_normal=prev_normal,
     )

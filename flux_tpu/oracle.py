@@ -712,8 +712,10 @@ def _light_emission(lt: _Lights, shape_idx):
     return m
 
 
-def _nee_pdf_toward(lt: _Lights, p: _V, shape_idx, d: _V, t):
-    """ops/nee.py nee_pdf_toward in f64 (the MIS reverse density)."""
+def _nee_pdf_toward(lt: _Lights, p: _V, shape_idx, d: _V, t, normal=None):
+    """ops/nee.py nee_pdf_toward in f64 (the MIS reverse density; with
+    ``normal`` — the previous vertex's stored normal — the PARTIAL-CONE
+    clipped density, the exact reverse of the clipped sampler)."""
     pdf = np.zeros(shape_idx.shape)
     for k, kind in enumerate(lt.kinds):
         sel = shape_idx == lt.sidx[k]
@@ -729,6 +731,23 @@ def _nee_pdf_toward(lt: _Lights, p: _V, shape_idx, d: _V, t):
             cos_max = np.sqrt(np.maximum(1.0 - sin2, 0.0))
             omega = 2.0 * np.pi * (1.0 - cos_max)
             pdf_k = lt.pick[k] / np.maximum(omega, 1e-20)
+            if normal is not None:
+                dist = np.sqrt(np.maximum(dist2, 1e-12))
+                w = dc * (1.0 / dist)
+                sh = np.zeros(np.broadcast_shapes(p.x.shape))
+                u, v = _frame_about(
+                    w, _V(sh + _EM[0], sh + _EM[1], sh + _EM[2])
+                )
+                cos_a = _dot(w, d)
+                sin_a = np.sqrt(np.maximum(1.0 - cos_a * cos_a, 0.0))
+                n_u = _dot(normal, u)
+                n_v = _dot(normal, v)
+                n_w = _dot(normal, w)
+                rho = np.sqrt(n_u * n_u + n_v * n_v)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    c = -(cos_a * n_w) / np.maximum(sin_a * rho, 1e-12)
+                phi_lim = _acos_conservative(np.clip(c, -1.0, 1.0))
+                pdf_k = pdf_k * np.pi / np.maximum(phi_lim, 1e-9)
             pdf_k = np.where(dist2 <= r * r, 0.0, pdf_k)
         pdf = np.where(sel, pdf_k, pdf)
     return pdf
@@ -808,7 +827,7 @@ def oracle_render(
 
     ``raw_samples=True`` returns the PER-SAMPLE radiance (spp, H, W, 3)
     before averaging and tone mapping — the probe the borderline-flip
-    certification uses (tests/test_bvh.py): cross-backend parity flips
+    certification uses (tests/test_scan_parity.py): cross-backend parity flips
     are per-sample whole-path events, only visible pre-average.
 
     ``branch_margins=True`` (implies per-sample output) returns
@@ -888,6 +907,9 @@ def oracle_render(
         alive = np.ones(shape, bool)
         suppress = np.zeros(shape, bool)
         prev_pdf = np.zeros(shape)
+        # MIS only: previous vertex's normal for the clipped reverse light
+        # density (never consulted while prev_pdf == 0).
+        prev_n = _V(*(np.zeros(shape) for _ in range(3)))
         band_margin = np.full(shape, np.inf) if branch_margins else None
 
         for depth in range(1, max_depth + 1):
@@ -929,7 +951,8 @@ def oracle_render(
                 # an NEE light carries pdf_b/(pdf_b + pdf_nee).
                 is_l = _light_emission(lights, sidx)
                 pdf_nee_prev = _nee_pdf_toward(
-                    lights, o, sidx, d, np.where(mask, hit_t, 0.0)
+                    lights, o, sidx, d, np.where(mask, hit_t, 0.0),
+                    normal=prev_n,
                 )
                 w_b = prev_pdf / np.maximum(prev_pdf + pdf_nee_prev, 1e-20)
                 emit_w = np.where(
@@ -980,8 +1003,7 @@ def oracle_render(
                 ), shape)
                 ldir, lemit, lwgt, lidx, pdf_nee, lctr, lrad, tri_t, tri_mask = (
                     _sample_light_dirs(
-                        lights, point, nux, nuy, upick,
-                        normal=None if physical else normal,
+                        lights, point, nux, nuy, upick, normal=normal,
                     )
                 )
                 cos_s = _dot(normal, ldir)
@@ -1043,6 +1065,7 @@ def oracle_render(
                         glossy, pdf_gi,
                         np.where(diffuse, cos_i * (1.0 / np.pi), 0.0),
                     )
+                    prev_n = _vwhere(scatter, normal, prev_n)
             tput = _vwhere(scatter, new_tput, tput)
             o = _vwhere(scatter, point, o)
             d = _vwhere(scatter, wi, d)

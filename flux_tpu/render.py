@@ -51,9 +51,6 @@ __all__ = ["render_block", "finalize", "Renderer", "plan_chunks"]
 # unrolled sweep (the sweep's XLA compile time explodes past ~150 spheres).
 SCAN_AUTO_THRESHOLD = 64
 
-# Row cap per BVH launch (see render_rows_sum).
-_BVH_MAX_ROWS_PER_LAUNCH = 200
-
 # Purpose salts separating the independent sample streams of a pixel.
 from .constants import SALT_AA, SALT_BOUNCE, SALT_LENS, SALT_NEE, SALT_NEEPICK  # noqa: E402
 
@@ -87,7 +84,7 @@ def render_block_impl(
     >= s_limit — used by the sharded renderer when root² doesn't divide the
     device count evenly.  ``isect`` (an ops/intersect.py Intersector, built
     once at Renderer construction) selects the intersection strategy —
-    unrolled sweep (default), blocked scan, or BVH traversal.  This is
+    unrolled sweep (default) or blocked scan.  This is
     the un-jitted core so it can be invoked inside ``shard_map``; use
     :func:`render_block` directly otherwise.
     """
@@ -140,6 +137,13 @@ def render_block_impl(
         # bounce then carries its hit shape forward for the exact
         # self-re-hit exclusion (ops/intersect.sphere_t ``on_self``).
         prev_shape=jnp.full(shape, -1, jnp.int32),
+        # MIS only: previous vertex's normal for the clipped reverse light
+        # density (camera lanes have prev_pdf 0, so the initial value is
+        # never consulted).
+        prev_normal=(
+            Vec3(zeros, zeros, zeros) if (lights is not None and physical)
+            else None
+        ),
     )
     if pvary_axes:
         # Under shard_map the scan carry must be device-varying from the
@@ -277,21 +281,17 @@ class Renderer:
         # Intersection strategy. The unrolled sweep is fastest at demo scale
         # but its compile time explodes past ~150 spheres; the blocked scan
         # keeps the same gather-free VPU math at constant compile time and
-        # is the large-scene default. The BVH traversal (O(log N), but
-        # per-lane gathers — slow on TPU, see ops/bvh.py) is opt-in.
+        # is the large-scene default. (A per-lane BVH traversal is
+        # deliberately ABSENT: TPU has no vector gather — the XLA
+        # stackless-threaded traversal lost to the block-skip scan at every
+        # measured N and faulted the TPU runtime at 16k spheres, and the
+        # round-5 in-kernel tile-coherent block tree lost 10-30% to the
+        # lane-packed linear skip at 16k/65k/262k; PERFORMANCE.md.)
         if accel is None:
             accel = "scan" if self.scene.num_spheres > SCAN_AUTO_THRESHOLD else "sweep"
-        if accel not in ("sweep", "scan", "bvh"):
+        if accel not in ("sweep", "scan"):
             raise ValueError(f"unknown accel {accel!r}")
         self.accel = accel
-        self.bvh = None
-        if accel == "bvh":
-            from .ops.bvh import build_bvh
-
-            self.bvh = build_bvh(
-                np.asarray(self.scene.sphere_center),
-                np.asarray(self.scene.sphere_radius),
-            )
         # The one intersection-strategy object everything downstream calls;
         # the scan modes carry their Morton block layout built ONCE here.
         layout = None
@@ -299,7 +299,7 @@ class Renderer:
             from .ops.intersect import scan_layout
 
             layout = scan_layout(self.scene)
-        self.isect = Intersector(bvh=self.bvh, layout=layout, mode=accel)
+        self.isect = Intersector(layout=layout, mode=accel)
         # Next-event estimation (opt-in; ops/nee.py): direct light sampling
         # at diffuse vertices.
         self.lights = None
@@ -317,17 +317,11 @@ class Renderer:
             # (CPU, GPU) its Mosaic TPU lowering cannot run, so only an
             # actual TPU backend selects it. It implements sweep, scan (as
             # the VMEM carry-style scan), the blocked triangle fold, and
-            # NEE over sphere AND triangle lights; only BVH traversal
-            # lives solely in the XLA path.
+            # NEE over sphere AND triangle lights.
             on_tpu = jax.default_backend() == "tpu"
-            backend = "pallas" if (on_tpu and self.bvh is None) else "xla"
+            backend = "pallas" if on_tpu else "xla"
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
-        if backend == "pallas" and self.bvh is not None:
-            raise ValueError(
-                "the pallas megakernel does not implement BVH traversal; "
-                "use backend='xla' for accel='bvh'"
-            )
         self.backend = backend
         # Morton triangle block layout for the megakernel, built ONCE here
         # (the sphere scan layout's sibling; ops/intersect.tri_layout).
@@ -336,17 +330,11 @@ class Renderer:
             from .ops.intersect import tri_layout
 
             self.tri_blocks = tri_layout(self.scene)
-
     def _chunk_size(self, n_rows: int) -> int:
         spp = self.root * self.root
         per_sample_lanes = n_rows * self.width
         budget = self.target_lanes
-        if self.bvh is not None:
-            # The traversal carries per-lane pointers plus gathered node
-            # rows through a while_loop, multiplying live HBM per lane —
-            # keep launches smaller so temps fit comfortably.
-            budget //= 8
-        elif self.accel == "scan":
+        if self.accel == "scan":
             # The sphere scan's carry keeps extra wavefront state live
             # across every (bounce, block) step; measured HBM headroom on
             # v5e needs ~4x smaller launches than the fully-fused sweep.
@@ -393,19 +381,6 @@ class Renderer:
                 scan_blocks=self.isect.layout,
                 tri_blocks=self.tri_blocks,
             )
-        if self.bvh is not None and n_rows > _BVH_MAX_ROWS_PER_LAUNCH:
-            # Whole-frame launches of the traversal program fault the TPU
-            # runtime at very large row counts (observed at 600 rows on
-            # v5e); stitch from row blocks that are known-good instead.
-            parts = []
-            r = 0
-            while r < n_rows:
-                n = min(_BVH_MAX_ROWS_PER_LAUNCH, n_rows - r)
-                parts.append(
-                    self.render_rows_sum_range(row0 + r, n, s0, n_samples, with_stats)
-                )
-                r += n
-            return jnp.concatenate(parts, axis=0)
         acc = None
         chunk = self._chunk_size(n_rows)
         for off, n in plan_chunks(n_samples, chunk):

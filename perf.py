@@ -24,6 +24,17 @@ def main():
     ap.add_argument("--depth", type=int, default=5)
     ap.add_argument("--nee", action="store_true")
     ap.add_argument("--scene", default=None)
+    ap.add_argument(
+        "--field", type=int, default=None,
+        help="procedural sphere_field(N) workload instead of --scene",
+    )
+    ap.add_argument("--field-seed", type=int, default=1)
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument(
+        "--mesh-tris", type=int, default=None,
+        help="procedural triangle-mesh workload with ~N triangles",
+    )
     ap.add_argument("--accel", default=None)
     ap.add_argument("--s-blk", type=int, default=None)
     ap.add_argument(
@@ -38,7 +49,24 @@ def main():
     from flux_tpu.scene import load_scene
 
     here = os.path.dirname(os.path.abspath(__file__))
-    sd = load_scene(args.scene or os.path.join(here, "scenes", "demo2.yml"))
+    if args.field is not None:
+        from flux_tpu.genscene import sphere_field
+
+        sd = sphere_field(
+            args.field, seed=args.field_seed,
+            width=args.width or 400, height=args.height or 300,
+            spread=14.0 * (args.field / 512.0) ** 0.5,
+        )
+    elif args.mesh_tris is not None:
+        from flux_tpu.meshgen import icosphere, mesh_scene
+
+        subdiv = max(1, int(np.ceil(np.log(args.mesh_tris / 20) / np.log(4))))
+        v, f = icosphere(subdiv)  # 20·4^subdiv triangles
+        sd = mesh_scene(
+            v, f, width=args.width or 400, height=args.height or 300
+        )
+    else:
+        sd = load_scene(args.scene or os.path.join(here, "scenes", "demo2.yml"))
     w = sd.output_settings.image_width
     h = sd.output_settings.image_height
 

@@ -632,6 +632,49 @@ class TestPartialConeClipping:
         # And every clipped sample lands on or above the horizon.
         assert (clip >= 0).all()
 
+    def test_clipped_reverse_density_matches_sampler(self):
+        """MIS consistency (Σw = 1): nee_pdf_toward with the stored normal
+        must return EXACTLY the clipped density the sampler drew with, for
+        every sampled direction — the two sides of the balance heuristic
+        share one density function (round 5; ops/nee.py docstring)."""
+        import jax.numpy as jnp
+
+        from flux_tpu.ops.nee import LightArrays, nee_pdf_toward, sample_light_dirs
+        from flux_tpu.samplers.hash import randfloat
+        from flux_tpu.vec import Vec3
+
+        lights = LightArrays(
+            center=jnp.asarray([[0.0, 0.2, -3.0]], jnp.float32),  # grazing
+            radius=jnp.asarray([1.0], jnp.float32),
+            emit=jnp.asarray([[1.0, 1.0, 1.0]], jnp.float32),
+            shape_idx=jnp.asarray([7], jnp.int32),
+            pick=jnp.asarray([1.0], jnp.float32),
+            cdf=jnp.asarray([0.0], jnp.float32),
+        )
+        n = 2048
+        i = jnp.arange(n, dtype=jnp.uint32)
+        ux, uy = randfloat(i, 5), randfloat(i, 6)
+        up = jnp.zeros(n, jnp.float32)
+        p = Vec3(*(jnp.zeros(n, jnp.float32) for _ in range(3)))
+        normal = Vec3(
+            jnp.zeros(n, jnp.float32), jnp.ones(n, jnp.float32),
+            jnp.zeros(n, jnp.float32),
+        )
+        ls = sample_light_dirs(lights, p, ux, uy, up, normal=normal)
+        rev = nee_pdf_toward(
+            lights, p, jnp.full(n, 7, jnp.int32), d=ls.d, t=None, normal=normal
+        )
+        fwd = np.asarray(ls.pdf)
+        rev = np.asarray(rev)
+        ok = np.isfinite(fwd) & (fwd < 1e19)  # skip zero-weight (empty-arc) lanes
+        # Same density function, but the reverse recomputes the ring from
+        # the FINAL f32 direction (the sampler used its internal cos_a) —
+        # agreement is f32-rounding-tight, amplified for rings near the
+        # clamp boundary: p99 at 1e-4, a bounded tail beyond.
+        rel = np.abs(rev[ok] - fwd[ok]) / fwd[ok]
+        assert np.quantile(rel, 0.99) < 1e-4, np.quantile(rel, 0.99)
+        assert rel.max() < 0.05, rel.max()
+
     def test_fully_visible_cone_unchanged_weight(self):
         """A light high above the surface: the visible arc is the whole
         ring, so clipping must not change the estimator at all."""

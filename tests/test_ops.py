@@ -245,33 +245,6 @@ class TestOccluded:
         near = jnp.asarray([1.0], jnp.float32)
         assert not bool(occluded_sweep(scene, o, d, near, jnp.asarray([-1], jnp.int32))[0])
 
-    def test_bvh_mode_matches_sweep_under_shadow_contract(self):
-        # The BVH mode derives occlusion from the full traversal, which is
-        # equivalent only when t_max is the excluded shape's own nearest t
-        # (the shadow-ray contract). Reproduce exactly that usage: pick a
-        # "light" sphere, compute its t with sphere_t, compare strategies.
-        from flux_tpu.ops.bvh import build_bvh
-        from flux_tpu.ops.intersect import Intersector, occluded_sweep, sphere_t
-
-        scene = self._field(n=48, seed=11)
-        bvh = build_bvh(
-            np.asarray(scene.sphere_center), np.asarray(scene.sphere_radius)
-        )
-        o, d = self._rays(m=512, seed=13)
-        li = 5  # arbitrary light index
-        a = d.x * d.x + d.y * d.y + d.z * d.z
-        t_l, l_valid = sphere_t(
-            o, d, a, 1.0 / a,
-            scene.sphere_center[li, 0], scene.sphere_center[li, 1],
-            scene.sphere_center[li, 2], scene.sphere_radius[li],
-        )
-        ex = jnp.full(o.x.shape, li, jnp.int32)
-        via_bvh = Intersector(bvh=bvh, mode="bvh").occluded(scene, o, d, t_l, ex)
-        via_sweep = occluded_sweep(scene, o, d, t_l, ex)
-        lit_a = np.asarray(l_valid & ~via_bvh)
-        lit_b = np.asarray(l_valid & ~via_sweep)
-        np.testing.assert_array_equal(lit_a, lit_b)
-
 
 class TestScanLayoutEdgeCases:
     def test_sphere_free_scene_scan(self):

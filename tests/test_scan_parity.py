@@ -1,8 +1,15 @@
-"""BVH build invariants + traversal parity against the brute-force sweep.
+"""Blocked-scan intersection parity + the oracle-adjudicated
+cross-backend gate.
 
 The sweep (ops/intersect.py) is the ground truth — it mirrors the
 reference's linear Scene::hit (fluxcore/src/scene.rs:156-160) and is pinned
-by the golden-image tests. The BVH must agree with it everywhere."""
+by the golden-image tests. The scan paths must agree with it everywhere;
+cross-COMPILATION parity is statistical and adjudicated by the f64 oracle
+(see TestKernelScanParityGate). The per-lane BVH traversal this file once
+covered was deleted in round 5 after measurement: it lost to the block-skip
+scan at every N and faulted the TPU runtime at 16k spheres
+(PERFORMANCE.md "Why there is no BVH").
+"""
 
 import jax
 import jax.numpy as jnp
@@ -10,11 +17,11 @@ import numpy as np
 import pytest
 
 from flux_tpu.genscene import sphere_field
-from flux_tpu.ops.bvh import LEAF_SIZE, build_bvh, sphere_hits_bvh
-from flux_tpu.ops.intersect import intersect, intersect_bvh, intersect_scan
+from flux_tpu.ops.intersect import intersect, intersect_scan
 from flux_tpu.render import Renderer
 from flux_tpu.scene import compile_scene
 from flux_tpu.vec import Vec3
+
 
 
 def _random_scene(n, seed):
@@ -30,55 +37,6 @@ def _random_rays(rng, batch, spread=30.0):
         Vec3(*(jnp.asarray(v) for v in d)),
     )
 
-
-class TestBuild:
-    def test_permutation_covers_all_spheres(self):
-        scene = _random_scene(300, 7)
-        bvh = build_bvh(np.asarray(scene.sphere_center), np.asarray(scene.sphere_radius))
-        order = np.asarray(bvh.order)
-        assert sorted(order.tolist()) == list(range(scene.num_spheres))
-
-    def test_leaves_partition_order(self):
-        scene = _random_scene(100, 3)
-        bvh = build_bvh(np.asarray(scene.sphere_center), np.asarray(scene.sphere_radius))
-        count = np.asarray(bvh.count)
-        first = np.asarray(bvh.first)
-        leaves = count > 0
-        assert (count[leaves] <= LEAF_SIZE).all()
-        spans = sorted(zip(first[leaves].tolist(), count[leaves].tolist()))
-        pos = 0
-        for f, c in spans:
-            assert f == pos
-            pos += c
-        assert pos == scene.num_spheres
-
-    def test_miss_links_are_forward_and_terminate(self):
-        scene = _random_scene(64, 1)
-        bvh = build_bvh(np.asarray(scene.sphere_center), np.asarray(scene.sphere_radius))
-        miss = np.asarray(bvh.miss)
-        m = bvh.num_nodes
-        assert (miss > np.arange(m)).all()
-        assert miss.max() == m
-
-    def test_children_inside_parent_box(self):
-        scene = _random_scene(64, 5)
-        bvh = build_bvh(np.asarray(scene.sphere_center), np.asarray(scene.sphere_radius))
-        bmin, bmax = np.asarray(bvh.bmin), np.asarray(bvh.bmax)
-        count, miss = np.asarray(bvh.count), np.asarray(bvh.miss)
-        for i in range(bvh.num_nodes):
-            if count[i] == 0:  # internal: children are i+1 and miss[i+1]
-                for ch in (i + 1, miss[i + 1]):
-                    assert (bmin[ch] >= bmin[i] - 1e-6).all()
-                    assert (bmax[ch] <= bmax[i] + 1e-6).all()
-
-    def test_single_sphere(self):
-        bvh = build_bvh(np.zeros((1, 3)), np.ones((1,)))
-        assert bvh.num_nodes == 1
-        assert np.asarray(bvh.count)[0] == 1
-
-    def test_zero_spheres_raises(self):
-        with pytest.raises(ValueError):
-            build_bvh(np.zeros((0, 3)), np.zeros((0,)))
 
 
 def _nearest_sphere_numpy(centers, radii, o, d, t_min=5e-4):
@@ -98,105 +56,6 @@ def _nearest_sphere_numpy(centers, radii, o, d, t_min=5e-4):
     t = np.where((disc >= 0.0) & (t > t_min), t, np.inf)
     return t.min(axis=0), t.argmin(axis=0)
 
-
-class TestTraversalParity:
-    @pytest.mark.parametrize("n,seed", [(17, 0), (64, 1)])
-    def test_matches_sweep(self, n, seed):
-        scene = _random_scene(n, seed)
-        bvh = build_bvh(np.asarray(scene.sphere_center), np.asarray(scene.sphere_radius))
-        rng = np.random.default_rng(seed + 100)
-        o, d = _random_rays(rng, 4096)
-
-        ref = jax.jit(intersect)(scene, o, d)
-        got = jax.jit(intersect_bvh)(scene, bvh, o, d)
-
-        np.testing.assert_allclose(
-            np.asarray(got.t), np.asarray(ref.t), rtol=1e-5, atol=1e-5
-        )
-        assert (np.asarray(got.mask) == np.asarray(ref.mask)).all()
-        # Same winning shape wherever the nearest hit is unambiguous.
-        t_ref = np.asarray(ref.t)
-        unambiguous = np.isfinite(t_ref)
-        same = np.asarray(got.shape) == np.asarray(ref.shape)
-        assert same[unambiguous].mean() > 0.999
-        sel = unambiguous & same
-        for c in "xyz":
-            np.testing.assert_allclose(
-                np.asarray(getattr(got.normal, c))[sel],
-                np.asarray(getattr(ref.normal, c))[sel],
-                rtol=1e-4,
-                atol=1e-4,
-            )
-            np.testing.assert_allclose(
-                np.asarray(getattr(got.albedo, c))[sel],
-                np.asarray(getattr(ref.albedo, c))[sel],
-                rtol=1e-6,
-                atol=1e-6,
-            )
-        assert (np.asarray(got.kind)[sel] == np.asarray(ref.kind)[sel]).all()
-
-    @pytest.mark.parametrize("n,seed", [(257, 2), (1024, 3)])
-    def test_matches_numpy_oracle_large(self, n, seed):
-        scene = _random_scene(n, seed)
-        centers = np.asarray(scene.sphere_center)
-        radii = np.asarray(scene.sphere_radius)
-        bvh = build_bvh(centers, radii)
-        rng = np.random.default_rng(seed + 100)
-        o_np = rng.uniform(-30, 30, size=(4096, 3)).astype(np.float32)
-        d_np = rng.normal(size=(4096, 3)).astype(np.float32)
-        d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
-        t_ref, i_ref = _nearest_sphere_numpy(centers, radii, o_np, d_np)
-
-        o = Vec3(*(jnp.asarray(o_np[:, k]) for k in range(3)))
-        d = Vec3(*(jnp.asarray(d_np[:, k]) for k in range(3)))
-        got = jax.jit(sphere_hits_bvh)(scene, bvh, o, d)
-
-        t_got = np.asarray(got.t)
-        hit = np.isfinite(t_ref)
-        assert (np.isfinite(t_got) == hit).all()
-        np.testing.assert_allclose(t_got[hit], t_ref[hit], rtol=2e-4, atol=2e-4)
-        assert (np.asarray(got.index)[hit] == i_ref[hit]).mean() > 0.999
-
-    def test_nan_slab_ray_on_box_plane(self):
-        """0·inf NaN guard (sphere_hits_bvh): a ray with a zero direction
-        component whose origin lies exactly on a node-box plane must not be
-        NaN-dropped — the tangent hit the sweep reports has to survive."""
-        from flux_tpu.genscene import sphere_field as sf
-        from flux_tpu.scene import MaterialData, MaterialKind, SceneData, SphereData
-
-        base = sf(4, 0, width=8, height=8)
-        mat = MaterialData(kind=MaterialKind.MATTE, color=(1.0, 0.0, 0.0))
-        sd = SceneData(
-            scene_name="nan_slab",
-            output_settings=base.output_settings,
-            background=(0.0, 0.0, 0.0),
-            shapes=(SphereData(center=(0.0, 0.0, 0.0), radius=1.0, material=mat),),
-            camera_settings=base.camera_settings,
-            camera_data=base.camera_data,
-        )
-        scene = compile_scene(sd)
-        bvh = build_bvh(np.asarray(scene.sphere_center), np.asarray(scene.sphere_radius))
-        # Origin x == bmax.x == 1 exactly, d.x == 0: slab t = 0*inf = NaN.
-        # The ray grazes the sphere tangentially at (1, 0, 0), t = 3 — the
-        # quadratic has disc == 0 exactly in f32, a real hit per the sweep.
-        o = Vec3(jnp.float32([1.0]), jnp.float32([0.0]), jnp.float32([-3.0]))
-        d = Vec3(jnp.float32([0.0]), jnp.float32([0.0]), jnp.float32([1.0]))
-        ref = jax.jit(intersect)(scene, o, d)
-        got = jax.jit(sphere_hits_bvh)(scene, bvh, o, d)
-        assert bool(np.isfinite(np.asarray(ref.t))[0]), "sweep must see the hit"
-        assert bool(np.isfinite(np.asarray(got.t))[0]), "BVH NaN-dropped the hit"
-        np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t), rtol=1e-6)
-
-    def test_rays_from_inside_field(self):
-        scene = _random_scene(128, 9)
-        bvh = build_bvh(np.asarray(scene.sphere_center), np.asarray(scene.sphere_radius))
-        rng = np.random.default_rng(11)
-        o, d = _random_rays(rng, 2048, spread=5.0)
-        ref = jax.jit(intersect)(scene, o, d)
-        got = jax.jit(intersect_bvh)(scene, bvh, o, d)
-        np.testing.assert_allclose(
-            np.asarray(got.t), np.asarray(ref.t), rtol=1e-5, atol=1e-5
-        )
 
 
 class TestScanParity:
@@ -240,19 +99,8 @@ class TestScanParity:
         assert (np.asarray(got.shape)[check] == i_ref[check]).mean() > 0.999
 
 
-class TestRenderParity:
-    def test_render_block_bvh_matches_sweep(self):
-        # Small sphere count: the sweep's compile time is superlinear in
-        # unrolled spheres × bounces (the very wall the BVH removes).
-        sd = sphere_field(24, seed=4, width=64, height=48)
-        r_sweep = Renderer(sd, sample_root=2, max_depth=3, seed=0, accel="sweep")
-        r_bvh = Renderer(sd, sample_root=2, max_depth=3, seed=0, accel="bvh")
-        assert r_bvh.bvh is not None and r_sweep.bvh is None
-        a = r_sweep.render_rows(0, 48)
-        b = r_bvh.render_rows(0, 48)
-        # Identical sampling; only intersection order differs -> fp noise.
-        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
+class TestRenderParity:
     def test_render_block_scan_matches_sweep(self):
         sd = sphere_field(24, seed=4, width=64, height=48)
         r_sweep = Renderer(sd, sample_root=2, max_depth=3, seed=0, accel="sweep")
@@ -273,13 +121,6 @@ class TestRenderParity:
         r = Renderer(sd, sample_root=1, max_depth=2, seed=0)
         assert r.accel == "sweep"
 
-    def test_pallas_plus_bvh_rejected(self):
-        sd = sphere_field(96, seed=4, width=32, height=24)
-        with pytest.raises(ValueError):
-            Renderer(sd, sample_root=1, max_depth=2, seed=0, backend="pallas", accel="bvh")
-        # pallas + scan is supported (the in-kernel blocked scan).
-        r = Renderer(sd, sample_root=1, max_depth=2, seed=0, backend="pallas", accel="scan")
-        assert r.accel == "scan" and r.backend == "pallas"
 
 
 class TestKernelScan:
