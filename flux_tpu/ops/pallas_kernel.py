@@ -56,6 +56,16 @@ SCAN_SUPER = 8
 TRI_SUPER = 8
 SUPER_ENGAGE = 16  # min block count before the outer level engages
 
+# Triangle block count below which the AABB skip is auto-DISABLED
+# (tri_skip=None): with a handful of always-entered blocks (a closed
+# Cornell box is the extreme — every interior ray enters every block) the
+# skip's VMEM winner-carry round-trips and AABB tests are pure overhead.
+# Measured on demo5 (36 tris, 3 blocks, 1024 spp): skip OFF is +20% with
+# NEE (94.0 → 112.5 Msamples/s) and +7% on the pure walk; at 80+ blocks
+# (mesh1280) the skip WINS (16.4 vs 12.1, round 2). Explicit True/False
+# still overrides.
+TRI_SKIP_ENGAGE = 8
+
 
 def _superblock_pad_and_union(aabb, n_blocks, super_size):
     """((n_blocks_padded, 6) AABBs, (n_super, 6) union AABBs, pad_blocks).
@@ -76,6 +86,32 @@ def _superblock_pad_and_union(aabb, n_blocks, super_size):
         axis=1,
     )
     return aabb, sup, padb
+
+
+class _PackedCols:
+    """[k, c] / [k]-indexable view over lane-packed tile segments.
+
+    The fold functions consume per-entry SCALARS (``ctr[k, 0]``,
+    ``rad[k]`` — k static in the unrolled block loop), so nothing needs
+    the (BLOCK, 3) array shape; this view resolves each access to ONE
+    static-lane element extract from the loaded (3, 128) tile, instead of
+    first materializing stacked (BLOCK, 3) arrays (a cross-lane data
+    movement Mosaic pays real shuffles for — measured ~7% on the
+    512-sphere scan)."""
+
+    def __init__(self, blk, segs, dtype=None):
+        self._blk = blk
+        self._segs = segs  # (row, lane_offset) per column
+        self._dtype = dtype  # int fields ride packed as f32; cast per access
+
+    def __getitem__(self, idx):
+        if isinstance(idx, tuple):
+            k, c = idx
+        else:
+            k, c = idx, 0
+        r, off = self._segs[c]
+        v = self._blk[r, off + k]
+        return v if self._dtype is None else v.astype(self._dtype)
 
 
 def default_s_blk(accel: str, num_spheres: int, num_triangles: int = 0) -> int:
@@ -429,19 +465,23 @@ def _kernel(
 
         n_blocks = sphere_tbl_ref.shape[0]
 
+        B = SCAN_BLOCK
+
         def _slice_block(i):
-            """Unpack lane-packed block ``i`` (see _pack_scan_blocks):
-            ``sphere_tbl_ref[i]`` is one (3, 128) tile — dynamic indexing
-            on the untiled leading axis, then STATIC lane segments."""
+            """Unpack lane-packed block ``i``: ``sphere_tbl_ref[i]`` is one
+            (3, 128) tile — dynamic index on the untiled leading axis, then
+            scalar views over static lane segments (_PackedCols: the folds
+            consume scalars, so no (BLOCK, 3) restack ever materializes).
+            ints ride as f32 (exact below 2^24) straight into the folds'
+            compares/selects."""
             blk = sphere_tbl_ref[i]
-            seg = lambda r, k: blk[r, k * SCAN_BLOCK:(k + 1) * SCAN_BLOCK]
-            ctr = jnp.stack([seg(0, 0), seg(0, 1), seg(0, 2)], axis=1)
-            rad = seg(0, 3)
-            inv_r_b = seg(1, 0)  # pre-divided invert/radius
-            kind = seg(1, 1).astype(jnp.int32)
-            exp = seg(1, 2)
-            idx = seg(1, 3).astype(jnp.int32)
-            alb = jnp.stack([seg(2, 0), seg(2, 1), seg(2, 2)], axis=1)
+            ctr = _PackedCols(blk, ((0, 0), (0, B), (0, 2 * B)))
+            rad = _PackedCols(blk, ((0, 3 * B),))
+            inv_r_b = _PackedCols(blk, ((1, 0),))
+            kind = _PackedCols(blk, ((1, B),), jnp.int32)
+            exp = _PackedCols(blk, ((1, 2 * B),))
+            idx = _PackedCols(blk, ((1, 3 * B),), jnp.int32)
+            alb = _PackedCols(blk, ((2, 0), (2, B), (2, 2 * B)))
             return ctr, rad, inv_r_b, kind, exp, alb, idx
 
         def _write_carry(c):
@@ -512,9 +552,10 @@ def _kernel(
 
             def occ_slice(i):
                 blk = sphere_tbl_ref[i]
-                seg = lambda r, k: blk[r, k * SCAN_BLOCK:(k + 1) * SCAN_BLOCK]
-                ctr = jnp.stack([seg(0, 0), seg(0, 1), seg(0, 2)], axis=1)
-                return ctr, seg(0, 3), seg(1, 3).astype(jnp.int32)
+                ctr = _PackedCols(blk, ((0, 0), (0, B), (0, 2 * B)))
+                rad = _PackedCols(blk, ((0, 3 * B),))
+                idx = _PackedCols(blk, ((1, 3 * B),), jnp.int32)
+                return ctr, rad, idx
 
             if scan_skip:
                 alive = _alive_mask()
@@ -545,14 +586,21 @@ def _kernel(
                     origin_idx=origin_idx, ns_base=ns_base,
                 )
 
-            def body(i, occ):
+            def body(i, occ_f):
                 ctr, rad, idx = occ_slice(i)
-                return fold_occluded_block(
-                    o, d, a, inv_a, occ, ctr, rad, t_max, exclude_idx, idx,
-                    origin_idx=origin_idx,
+                # occ rides the fori carry as f32 0/1: Mosaic cannot
+                # legalize i1 vectors through scf.for (measured hard
+                # compile failure on v5e; the bool<->f32 round-trip is
+                # exact, same rule as the early-exit state rows).
+                occ2 = fold_occluded_block(
+                    o, d, a, inv_a, occ_f > 0.0, ctr, rad, t_max,
+                    exclude_idx, idx, origin_idx=origin_idx,
                 )
+                return occ2.astype(jnp.float32)
 
-            occ = jax.lax.fori_loop(0, n_blocks, body, (o.x * 0.0) > 0.0)
+            occ = jax.lax.fori_loop(
+                0, n_blocks, body, o.x * 0.0
+            ) > 0.0
             return _plane_occluded(
                 scene_v, o, d, t_max, exclude_idx, occ,
                 origin_idx=origin_idx, ns_base=ns_base,
@@ -585,19 +633,20 @@ def _kernel(
         # in the XLA path.
         tri_base_ = np.int32(tri_base)
 
+        TB = TRI_SCAN_BLOCK
+
         def _tri_slice(i):
-            """Unpack lane-packed triangle block ``i`` (_pack_tri_blocks)."""
+            """Unpack lane-packed triangle block ``i``: scalar views over
+            the (3, 128) tile (_PackedCols — see _slice_block)."""
             blk = tri_tbl_ref[i]
-            B = TRI_SCAN_BLOCK
-            seg = lambda r, k: blk[r, k * B:(k + 1) * B]
-            v0 = jnp.stack([seg(0, 0), seg(0, 1), seg(0, 2)], axis=1)
-            e1 = jnp.stack([seg(0, 3), seg(0, 4), seg(0, 5)], axis=1)
-            e2 = jnp.stack([seg(0, 6), seg(0, 7), seg(1, 0)], axis=1)
-            n3 = jnp.stack([seg(1, 1), seg(1, 2), seg(1, 3)], axis=1)
-            kind = seg(1, 4).astype(jnp.int32)
-            exp = seg(1, 5)
-            idx = seg(1, 6).astype(jnp.int32)
-            alb = jnp.stack([seg(2, 0), seg(2, 1), seg(2, 2)], axis=1)
+            v0 = _PackedCols(blk, ((0, 0), (0, TB), (0, 2 * TB)))
+            e1 = _PackedCols(blk, ((0, 3 * TB), (0, 4 * TB), (0, 5 * TB)))
+            e2 = _PackedCols(blk, ((0, 6 * TB), (0, 7 * TB), (1, 0)))
+            n3 = _PackedCols(blk, ((1, TB), (1, 2 * TB), (1, 3 * TB)))
+            kind = _PackedCols(blk, ((1, 4 * TB),), jnp.int32)
+            exp = _PackedCols(blk, ((1, 5 * TB),))
+            idx = _PackedCols(blk, ((1, 6 * TB),), jnp.int32)
+            alb = _PackedCols(blk, ((2, 0), (2, TB), (2, 2 * TB)))
             return v0, e1, e2, n3, kind, exp, alb, idx
 
         def _tri_write(c):
@@ -668,14 +717,19 @@ def _kernel(
                 scene_v, o, d, t_max, exclude_idx, origin_idx=origin_idx
             )
             if not tri_skip:
-                def body(i, occ):
+                def body(i, occ_f):
                     v0, e1, e2, n3, kind, exp, alb, idx = _tri_slice(i)
-                    return fold_tri_occluded_block(
-                        o, d, occ, v0, e1, e2, t_max, exclude_idx, idx, tri_base_,
-                        origin_idx=origin_idx,
+                    # f32 0/1 carry: scf.for cannot carry i1 vectors (see
+                    # the sphere occlusion fold above).
+                    occ2 = fold_tri_occluded_block(
+                        o, d, occ_f > 0.0, v0, e1, e2, t_max, exclude_idx,
+                        idx, tri_base_, origin_idx=origin_idx,
                     )
+                    return occ2.astype(jnp.float32)
 
-                return jax.lax.fori_loop(0, n_tri_blocks, body, occ0)
+                return jax.lax.fori_loop(
+                    0, n_tri_blocks, body, occ0.astype(jnp.float32)
+                ) > 0.0
             alive = _alive_mask()
             # Row 10 carries the occlusion mask (f32 0/1); the skip drops
             # blocks no not-yet-occluded live lane's shadow ray enters.
@@ -907,7 +961,7 @@ def render_block_pallas(
     row_stride: int = 1,
     scan_blocks=None,
     tri_blocks=None,
-    tri_skip: bool = True,
+    tri_skip=None,  # None = auto (off below TRI_SKIP_ENGAGE blocks)
 ):
     """Drop-in replacement for render.render_block (same contract: radiance
     sums over sample indices [s0, s0+n_samples) for a row band).
@@ -1122,6 +1176,8 @@ def render_block_pallas(
 
         assert TRI_SCAN_BLOCK * 8 == LANES, "packing assumes 16-tri blocks"
         TL = tri_blocks if tri_blocks is not None else tri_layout(scene)
+        if tri_skip is None:  # auto: see TRI_SKIP_ENGAGE
+            tri_skip = TL.n_blocks >= TRI_SKIP_ENGAGE
         ntt = TL.n_blocks * TRI_SCAN_BLOCK
         tri_v0 = TL.v0.reshape(ntt, 3)
         tri_e1 = TL.e1.reshape(ntt, 3)
