@@ -71,18 +71,26 @@ def _setup_compilation_cache():
         # this repo directory moved machines between sessions.
         root = _os.path.join(repo, "artifacts", "xla_cache")
         cache_dir = _os.path.join(root, _host_fingerprint())
-        # Sweep pre-segregation entries left loose in the cache root
-        # (round-4 layout change): harmless since jax now points at the
-        # per-host subdir, but they include exactly the stale other-host
-        # AOT binaries the segregation exists to quarantine — dead disk
-        # weight a future reader could mistake for cache corruption.
-        try:
-            for name in _os.listdir(root):
-                p = _os.path.join(root, name)
-                if _os.path.isfile(p):
-                    _os.unlink(p)
-        except OSError:
-            pass
+        # One-time sweep of pre-segregation entries left loose in the cache
+        # root (round-4 layout change): harmless since jax now points at
+        # the per-host subdir, but they include exactly the stale
+        # other-host AOT binaries the segregation exists to quarantine —
+        # dead disk weight a future reader could mistake for cache
+        # corruption. Guarded by a marker so this is a migration, not a
+        # standing rm on import (a .gitignore or concurrent tool file
+        # placed there later must survive); dotfiles/docs are skipped.
+        marker = _os.path.join(root, ".swept-r5")
+        if _os.path.isdir(root) and not _os.path.exists(marker):
+            try:
+                for name in _os.listdir(root):
+                    p = _os.path.join(root, name)
+                    if (_os.path.isfile(p) and not name.startswith(".")
+                            and not name.endswith((".md", ".txt"))):
+                        _os.unlink(p)
+                with open(marker, "w") as f:
+                    f.write("pre-segregation loose cache files swept\n")
+            except OSError:
+                pass
     try:
         _os.makedirs(cache_dir, exist_ok=True)
         import jax

@@ -105,6 +105,30 @@ def _acos_conservative(x):
     return jnp.clip(a + np.float32(1e-4), 0.0, np.float32(np.pi))
 
 
+def _cone_frame(w):
+    """The cone-sampling frame about axis ``w`` — seeded by the SAME matte
+    epsilon vector as the BRDF warps (ops/brdf.py ``_EM``). One seed, one
+    construction: the sampler, the MIS reverse density, and the f64 oracle
+    must all build bit-identical frames, or the two sides of the balance
+    weight desynchronize and Σw = 1 breaks."""
+    from .brdf import _EM
+
+    return frame_about(
+        w, Vec3(jnp.float32(_EM[0]), jnp.float32(_EM[1]), jnp.float32(_EM[2]))
+    )
+
+
+def _ring_decompose(normal, u, v, w):
+    """(n_u, n_v, n_w, ρ): the surface normal in the cone frame (u, v, w),
+    with ρ = |(n_u, n_v)| the in-plane magnitude — the one decomposition
+    both the sampler's arc draw and the reverse density evaluate."""
+    n_u = normal.x * u.x + normal.y * u.y + normal.z * u.z
+    n_v = normal.x * v.x + normal.y * v.y + normal.z * v.z
+    n_w = normal.x * w.x + normal.y * w.y + normal.z * w.z
+    rho = jnp.sqrt(n_u * n_u + n_v * n_v)
+    return n_u, n_v, n_w, rho
+
+
 def _clip_arc_halfangle(rho, n_w, cos_a, sin_a):
     """Half-angle φ_lim of the above-horizon azimuth arc on the cone ring
     at polar angle (cos_a, sin_a), for a surface normal whose cone-frame
@@ -349,9 +373,7 @@ def sample_light_dirs(lights: LightArrays, p: Vec3, ux, uy, upick, normal: Vec3 
     w = dc * (1.0 / jnp.maximum(dist, 1e-12))
     cos_a = 1.0 - jnp.asarray(ux) * (1.0 - cos_max)
     sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
-    # Frame about w (the matte epsilon vector, ops/brdf.py _EM).
-    eps = Vec3(jnp.float32(0.0034), jnp.float32(1.0), jnp.float32(0.0071))
-    u, v = frame_about(w, eps)
+    u, v = _cone_frame(w)
 
     arc_frac = None
     if normal is None:
@@ -371,10 +393,7 @@ def sample_light_dirs(lights: LightArrays, p: Vec3, ux, uy, upick, normal: Vec3 
         # sampled is guaranteed ⊇ the visible arc (never misses visible
         # light — sub-horizon overshoot is zeroed by the caller's
         # cosθ > 0 mask, which the matching 1/arc density keeps unbiased).
-        n_u = normal.x * u.x + normal.y * u.y + normal.z * u.z
-        n_v = normal.x * v.x + normal.y * v.y + normal.z * v.z
-        n_w = normal.x * w.x + normal.y * w.y + normal.z * w.z
-        rho = jnp.sqrt(n_u * n_u + n_v * n_v)
+        n_u, n_v, n_w, rho = _ring_decompose(normal, u, v, w)
         phi_lim = _clip_arc_halfangle(rho, n_w, cos_a, sin_a)
         arc_frac = phi_lim * np.float32(1.0 / np.pi)
         # φ = φ0 + δ via angle addition; ρ ∥ axis ⇒ any φ0 serves (full or
@@ -527,16 +546,10 @@ def nee_pdf_toward(lights: LightArrays, p: Vec3, shape_idx, d: Vec3 = None, t=No
                 dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
                 inv = 1.0 / dist
                 w = Vec3(dcx * inv, dcy * inv, dcz * inv)
-                eps = Vec3(
-                    jnp.float32(0.0034), jnp.float32(1.0), jnp.float32(0.0071)
-                )
-                u, v = frame_about(w, eps)
+                u, v = _cone_frame(w)
                 cos_a = w.x * d.x + w.y * d.y + w.z * d.z
                 sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
-                n_u = normal.x * u.x + normal.y * u.y + normal.z * u.z
-                n_v = normal.x * v.x + normal.y * v.y + normal.z * v.z
-                n_w = normal.x * w.x + normal.y * w.y + normal.z * w.z
-                rho = jnp.sqrt(n_u * n_u + n_v * n_v)
+                n_u, n_v, n_w, rho = _ring_decompose(normal, u, v, w)
                 phi_lim = _clip_arc_halfangle(rho, n_w, cos_a, sin_a)
                 pdf_k = pdf_k * np.float32(np.pi) / jnp.maximum(
                     phi_lim, np.float32(1e-9)

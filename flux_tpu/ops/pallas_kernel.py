@@ -161,7 +161,6 @@ def _kernel(
     light_te2_ref,  # (L, 3) f32 v2 - v0
     light_tn_ref,  # (L, 3) f32 unit authored normal
     light_ta_ref,  # (L, 1) f32 triangle area
-    sphere_idx_ref,  # (Ns, 1) i32 sorted-position -> original sphere index
     sphere_tbl_ref,  # (n_blocks, 3, 128) f32 LANE-PACKED scan blocks (see
     #   _pack_scan_blocks: VMEM pads the last axis of every ref to 128
     #   lanes, so per-sphere (N, 1)/(N, 3) refs cost 128×/43× their true
@@ -443,11 +442,12 @@ def _kernel(
         # Blocked-scan intersection, in-kernel form: a fori_loop whose body
         # slices each SCAN_BLOCK of spheres straight out of the VMEM refs
         # (Mosaic's lax.scan can't carry extensive inputs, and dynamic
-        # slicing is a ref operation). The refs hold the SPATIALLY-SORTED
-        # layout (ops/intersect.scan_layout): sphere_idx_ref maps entries
-        # back to original indices, sphere_i_ref carries the PRE-DIVIDED
-        # invert/radius, mat rows are pre-multiplied color×param with
-        # param 1, and aabb_ref holds per-block bounds. With ``scan_skip``
+        # slicing is a ref operation). The packed table holds the
+        # SPATIALLY-SORTED layout (ops/intersect.scan_layout): row 1 lane
+        # segment 3 carries each entry's ORIGINAL sphere index (hit.shape /
+        # NEE light matching), the invert/radius rides PRE-DIVIDED, mat
+        # rows are pre-multiplied color×param with param 1, and aabb_ref
+        # holds per-block bounds. With ``scan_skip``
         # the winner carry lives in a VMEM scratch mutated under
         # ``pl.when``: a block whose AABB no live lane's ray enters is
         # skipped entirely — the gather-free, Mosaic-friendly stand-in for
@@ -1093,7 +1093,6 @@ def render_block_pallas(
         sphere_center = jnp.full((1, 3), np.nan, jnp.float32)
         sphere_radius = jnp.ones((1,), jnp.float32)
         sphere_invert = jnp.ones((1,), jnp.float32)
-        sphere_idx = jnp.zeros((1, 1), jnp.int32)
         sph_kind = jnp.zeros((1,), jnp.int32)
         sph_exp = jnp.zeros((1,), jnp.float32)
         sph_color = jnp.zeros((1, 3), jnp.float32)
@@ -1115,7 +1114,6 @@ def render_block_pallas(
             sphere_center = scene.sphere_center
             sphere_radius = scene.sphere_radius
             sphere_invert = scene.sphere_invert
-        sphere_idx = jnp.zeros((1, 1), jnp.int32)  # dummy (sweep needs none)
         scan_aabb = jnp.zeros((1, 6), jnp.float32)
         scan_super = False
         super_aabb = jnp.full((1, 6), np.nan, jnp.float32)
@@ -1369,7 +1367,6 @@ def render_block_pallas(
             whole((n_lights, 3)),
             whole((n_lights, 3)),
             whole((n_lights, 1)),
-            whole((sphere_idx.shape[0], 1)),
             whole3(sphere_tbl.shape),
             smem1(n_blocks_aabb * 6),
             smem1(n_super_aabb * 6),
@@ -1414,7 +1411,6 @@ def render_block_pallas(
                 light_te2,
                 light_tn,
                 light_ta,
-                sphere_idx,
                 sphere_tbl,
                 scan_aabb,
                 super_aabb,

@@ -290,9 +290,23 @@ def _to_poisson_disc(x, y):
     return r * np.cos(phi), r * np.sin(phi)
 
 
-# Frame-epsilon vectors (brdf.rs:23,57 via ops/brdf.py:48-49).
+# Frame-epsilon vectors (brdf.rs:23,57 via ops/brdf.py:48-49). The f64
+# oracle keeps the exact decimal literals; the f32 path rounds them — that
+# gap is ordinary arithmetic drift, but the LITERALS themselves must never
+# desynchronize (the cone frame is part of the estimator's definition), so
+# they are pinned against ops/brdf at import.
 _EM = (0.0034, 1.0, 0.0071)
 _EG = (0.00424, 1.0, 0.00764)
+
+
+def _pin_frame_eps():
+    from .ops import brdf as _brdf
+
+    assert tuple(np.float32(x) for x in _EM) == tuple(_brdf._EM)
+    assert tuple(np.float32(x) for x in _EG) == tuple(_brdf._EG)
+
+
+_pin_frame_eps()
 
 
 # ---------------------------------------------------------------------------
