@@ -174,6 +174,13 @@ def main():
         # stats channel or the stop logic are visible as spp/wall jumps.
         from flux_tpu.checkpoint import ProgressiveRenderer
 
+        # Warm the with_stats pass shape (n_samples is static in the
+        # launch, so the warmup must use the same 64-sample pass) on a
+        # throwaway renderer: the timed loop below then measures the
+        # adaptive render, not a cold compile (history showed 15.5 s vs
+        # 89.6 s for identical code depending on cache warmth).
+        ProgressiveRenderer(sd, sample_root=32, max_depth=DEPTH, seed=0).render_pass(64)
+
         pr = ProgressiveRenderer(sd, sample_root=32, max_depth=DEPTH, seed=0)
         t0 = time.time()
         # Reachable mid-run at this spp budget (p99 rel stderr measured
